@@ -1,0 +1,70 @@
+"""On-device reductions and label remaps.
+
+TPU-native equivalents of the reference's full-grid scan kernels:
+ - vacuum_assign  (ref utils.py:382-401)  -> masked where + two f64 sums
+ - charge_sum     (ref utils.py:235-252)  -> segment_sum over labels
+ - volume_assign  (ref utils.py:404-421)  -> lookup-table gather
+ - volume_mask    (ref utils.py:461-476)  -> jnp.where
+ - dtype_change   (ref utils.py:255-259)  -> astype at host export time
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def vacuum_mask(reference: jax.Array, vac_tol: jax.Array,
+                density: jax.Array, voxel_vol: jax.Array):
+    """Mask voxels with reference density <= vac_tol as vacuum.
+
+    returns (mask bool array, vacuum_charge, vacuum_volume) — charge summed
+    over the *density* array and scaled by the voxel volume, matching
+    reference utils.py:382-401.
+    """
+    mask = reference <= vac_tol
+    charge = jnp.sum(jnp.where(mask, density, 0.0)) * voxel_vol
+    volume = jnp.sum(mask) * voxel_vol
+    return mask, charge, volume
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def charge_volume_sum(density: jax.Array, labels: jax.Array,
+                      voxel_vol: jax.Array, num_segments: int):
+    """Per-label integrated charge and volume (labels < 0 are excluded).
+
+    Equivalent to reference charge_sum (utils.py:235-252): charge[l] =
+    voxel_volume * sum(density where labels==l); volume[l] = voxel_volume *
+    count(labels==l).
+    """
+    flat_lab = labels.reshape(-1)
+    seg = jnp.where(flat_lab < 0, jnp.int32(num_segments), flat_lab)
+    charge = jax.ops.segment_sum(
+        density.reshape(-1), seg, num_segments=num_segments + 1
+    )[:num_segments] * voxel_vol
+    ones = jnp.ones(flat_lab.shape, dtype=density.dtype)
+    volume = jax.ops.segment_sum(
+        ones, seg, num_segments=num_segments + 1
+    )[:num_segments] * voxel_vol
+    return charge, volume
+
+
+@jax.jit
+def relabel(labels: jax.Array, swap: jax.Array) -> jax.Array:
+    """Remap non-negative labels through a lookup table (vacuum preserved).
+
+    Equivalent to reference volume_assign (utils.py:404-421).
+    """
+    remapped = jnp.take(swap, jnp.clip(labels, 0), mode="clip").astype(
+        labels.dtype
+    )
+    return jnp.where(labels < 0, labels, remapped)
+
+
+@jax.jit
+def masked_density(labels: jax.Array, density: jax.Array,
+                   vol_num: jax.Array) -> jax.Array:
+    """density where labels == vol_num else 0 (ref volume_mask)."""
+    return jnp.where(labels == vol_num, density, 0.0)

@@ -1,0 +1,85 @@
+"""Ongrid ascent-pointer stencil.
+
+The reference implements the ongrid method as a serial per-voxel walk: from
+each voxel, repeatedly move to the neighbour maximising
+``(rho(n) - rho(p)) * w(step) + rho(p)`` until no neighbour is strictly
+greater (reference methods.py:87-117), with early exit into already-assigned
+voxels and chunk-local windows (methods.py:119-168).
+
+TPU-native formulation: the ascent target of a voxel is a pure local function
+of its 26-neighbourhood, so we compute every voxel's "parent" in one fused
+stencil pass, then converge labels with parallel pointer doubling
+(:mod:`pybader_tpu.ops.pointer`).  This removes all path buffers, window
+extension and cross-chunk merge logic while producing bit-identical basins:
+the ongrid walk is path-independent, and the tie-break rules are replicated
+exactly (first strictly-greater neighbour in ix,iy,iz scan order wins; the
+voxel itself wins all ties at its own density).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pybader_tpu.grid import OFFSETS, SELF_INDEX
+
+
+def _roll(a: jax.Array, off) -> jax.Array:
+    """shifted[p] == a[(p + off) % shape] (periodic neighbour fetch)."""
+    return jnp.roll(a, shift=(-off[0], -off[1], -off[2]), axis=(0, 1, 2))
+
+
+@partial(jax.jit, static_argnames=("weights",))
+def ongrid_parent(reference: jax.Array, weights: tuple,
+                  vacuum: jax.Array | None = None) -> jax.Array:
+    """Per-voxel ascent pointer as a flat int32 index.
+
+    args:
+        reference: (nx, ny, nz) density used for partitioning decisions.
+        weights: 27 inverse step lengths in OFFSETS scan order (static
+                 python tuple so XLA constant-folds them).
+        vacuum: optional boolean mask; vacuum voxels become their own parent.
+    returns:
+        (nx, ny, nz) int32 array of flat voxel indices; ``parent[p] == p``
+        iff p is a local maximum under the ongrid rule (or vacuum).
+    """
+    nx, ny, nz = reference.shape
+    rho = reference
+    best_val = rho
+    best_k = jnp.full(rho.shape, SELF_INDEX, dtype=jnp.uint8)
+    for k, off in enumerate(OFFSETS):
+        if k == SELF_INDEX:
+            continue
+        w = weights[k]
+        val = (_roll(rho, off) - rho) * w + rho
+        upd = val > best_val
+        best_val = jnp.where(upd, val, best_val)
+        best_k = jnp.where(upd, jnp.uint8(k), best_k)
+
+    offs = np.asarray(OFFSETS, dtype=np.int32)
+    ox = jnp.asarray(offs[:, 0])[best_k]
+    oy = jnp.asarray(offs[:, 1])[best_k]
+    oz = jnp.asarray(offs[:, 2])[best_k]
+    x = jax.lax.broadcasted_iota(jnp.int32, rho.shape, 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, rho.shape, 1)
+    z = jax.lax.broadcasted_iota(jnp.int32, rho.shape, 2)
+    px = jnp.remainder(x + ox, nx)
+    py = jnp.remainder(y + oy, ny)
+    pz = jnp.remainder(z + oz, nz)
+    parent = (px * ny + py) * nz + pz
+    if vacuum is not None:
+        self_idx = (x * ny + y) * nz + z
+        parent = jnp.where(vacuum, self_idx, parent)
+    return parent
+
+
+@jax.jit
+def self_index(shape_like: jax.Array) -> jax.Array:
+    """Flat index of each voxel of a 3-D array (int32)."""
+    nx, ny, nz = shape_like.shape
+    x = jax.lax.broadcasted_iota(jnp.int32, shape_like.shape, 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, shape_like.shape, 1)
+    z = jax.lax.broadcasted_iota(jnp.int32, shape_like.shape, 2)
+    return (x * ny + y) * nz + z

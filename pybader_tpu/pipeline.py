@@ -1,0 +1,157 @@
+"""Host-orchestrated partitioning pipelines.
+
+This is the TPU-native replacement for the reference's thread scheduler
+(/root/reference/pybader/thread_handlers.py): instead of splitting the grid
+into per-thread chunks with window extension and a merge protocol, the whole
+grid lives on device and each stage is a jitted program; the only host
+round-trips are data-dependent sizes (number of maxima, edge-voxel lists)
+which become static shapes of follow-up jits.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pybader_tpu.ops import edges as edges_ops
+from pybader_tpu.ops import neargrid as neargrid_ops
+from pybader_tpu.ops.pointer import label_volumes, resolve_roots
+from pybader_tpu.ops.stencil import ongrid_parent
+
+METHODS = ["ongrid", "neargrid"]
+REFINEMENT_METHODS = ["neargrid"]
+
+# Default batch of trajectories walked in lockstep (full-grid neargrid init).
+_WALK_BATCH = 1 << 21
+
+
+def partition_ongrid(reference, vacuum, weights):
+    """Ongrid partition: stencil parents + pointer doubling.
+
+    args:
+        reference: (nx,ny,nz) density (device or numpy, f64).
+        vacuum: bool mask or None.
+        weights: 27 distance weights (OFFSETS order), tuple of floats.
+    returns:
+        (labels int32 device array [-1=vacuum, 0..M-1 basins],
+         maxima (M,3) int64 voxel indices in discovery order)
+    """
+    reference = jnp.asarray(reference)
+    vac = None if vacuum is None else jnp.asarray(vacuum)
+    parent = ongrid_parent(reference, tuple(weights), vac)
+    return label_volumes(parent, vac)
+
+
+def partition_neargrid(reference, vacuum, weights, t_grad,
+                       batch: int = _WALK_BATCH):
+    """Neargrid partition: every voxel walks its full trajectory.
+
+    Order-independent formulation of reference methods.py:222-611 (see
+    ops/neargrid.py docstring for the documented deviation).
+    """
+    reference = jnp.asarray(reference)
+    vac = None if vacuum is None else jnp.asarray(vacuum)
+    shape = reference.shape
+    n = int(np.prod(shape))
+    parent = ongrid_parent(reference, tuple(weights), vac)
+    parent_flat = parent.reshape(-1)
+    roots_flat = resolve_roots(parent).reshape(-1)
+    rho_flat = reference.reshape(-1)
+    stop_flat = jnp.zeros((n,), dtype=bool)
+    t_grad = jnp.asarray(t_grad)
+
+    vac_h = None if vac is None else np.asarray(vac).reshape(-1)
+    final = np.arange(n, dtype=np.int32)
+    starts_all = (
+        np.arange(n, dtype=np.int32) if vac_h is None
+        else np.flatnonzero(~vac_h).astype(np.int32)
+    )
+    for lo in range(0, len(starts_all), batch):
+        chunk = starts_all[lo:lo + batch]
+        padded = neargrid_ops.pad_starts(chunk)
+        pos, done = neargrid_ops.walk(
+            jnp.asarray(padded), rho_flat, parent_flat, stop_flat, t_grad,
+            shape, strict_grad=False,
+        )
+        # step-cap stragglers resolve through their ongrid root (a maximum)
+        pos = jnp.where(done, pos, jnp.take(roots_flat, pos, mode="clip"))
+        final[chunk] = np.asarray(pos)[: len(chunk)]
+
+    final_dev = jnp.asarray(final.reshape(shape))
+    return label_volumes(final_dev, vac)
+
+
+def refine_labels(method: str, refine_mode, reference, labels, weights,
+                  t_grad, verbose: bool = True):
+    """Iterative neargrid edge refinement to (or towards) a fixed point.
+
+    Mirrors reference thread_handlers.refine (:128-236): iteration 1 walks
+    every edge voxel; subsequent iterations re-walk either the full fresh
+    edge set ('all') or the neighbourhoods of changed voxels ('changed'),
+    stopping after ``iters`` iterations or when nothing changes (iters < 0
+    means run to convergence).  Unknown methods are silently skipped, like
+    the reference (thread_handlers.py:140-143).
+
+    returns (labels, total_changed).
+    """
+    if method not in REFINEMENT_METHODS:
+        return labels, 0
+    mode, iters = tuple(refine_mode)
+    if iters == 0:
+        return labels, 0
+    max_iters = np.inf if iters < 0 else int(iters)
+
+    reference = jnp.asarray(reference)
+    labels = jnp.asarray(labels)
+    shape = reference.shape
+    t_grad = jnp.asarray(t_grad)
+    vac = labels == -1
+    parent_flat = ongrid_parent(reference, tuple(weights), vac).reshape(-1)
+    roots_flat = resolve_roots(parent_flat)
+    rho_flat = reference.reshape(-1)
+
+    known = edges_ops.edge_find(reference, labels)
+    total_changed = 0
+    it = 0
+    while it < max_iters:
+        it += 1
+        starts = np.flatnonzero(np.asarray(known).reshape(-1) == -2)
+        if len(starts) == 0:
+            if verbose and it == 1:
+                print("  No edges found.")
+            break
+        if verbose:
+            print(f"  Iteration {it}: refining {len(starts)} edges")
+        padded = jnp.asarray(neargrid_ops.pad_starts(starts.astype(np.int32)))
+        stop_flat = (known == 2).reshape(-1)
+        pos, done = neargrid_ops.walk(
+            padded, rho_flat, parent_flat, stop_flat, t_grad, shape,
+            strict_grad=True,
+        )
+        pos = jnp.where(done, pos, jnp.take(roots_flat, pos, mode="clip"))
+        labels_flat = labels.reshape(-1)
+        starts_dev = padded[: len(starts)]
+        new_lab = jnp.take(labels_flat, pos[: len(starts)], mode="clip")
+        old_lab = jnp.take(labels_flat, starts_dev, mode="clip")
+        changed_mask = new_lab != old_lab
+        changed = int(jnp.sum(changed_mask))
+        total_changed += changed
+        labels = labels_flat.at[starts_dev].set(new_lab).reshape(shape)
+        if verbose:
+            print(f"  {changed} points changed.")
+        if changed == 0:
+            break
+        # bookkeeping on the edge set we just walked: changed stay -2,
+        # unchanged drop to -1 (reference refinement.py:288-302 known dance)
+        known_flat = known.reshape(-1)
+        known_flat = known_flat.at[starts_dev].set(
+            jnp.where(changed_mask, jnp.int8(-2), jnp.int8(-1))
+        )
+        known = known_flat.reshape(shape)
+        if it >= max_iters:
+            break
+        if str(mode).lower() == "all":
+            known = edges_ops.edge_find(reference, labels)
+        else:
+            known = edges_ops.edge_check(known, reference, labels)
+    return labels, total_changed

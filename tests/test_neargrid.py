@@ -1,0 +1,138 @@
+"""Tests: vectorised neargrid walker vs serial spec; refinement invariants."""
+import numpy as np
+import jax.numpy as jnp
+
+from tests.oracle import (
+    gaussian_density, neargrid_trajectory, ongrid_oracle, edge_scan,
+)
+from tests.test_ongrid import LATTICE, SHAPE, make_density
+
+from pybader_tpu import grid as g
+from pybader_tpu import pipeline
+from pybader_tpu.ops import neargrid as ng
+from pybader_tpu.ops import edges as edges_ops
+from pybader_tpu.ops.stencil import ongrid_parent
+from pybader_tpu.ops.pointer import resolve_roots
+
+
+def _setup(seed=0):
+    rho = make_density(seed)
+    w = g.distance_weights(LATTICE, SHAPE)
+    tg = g.t_grad(LATTICE, SHAPE)
+    return rho, w, tg
+
+
+def test_walker_matches_serial_spec():
+    rho, w, tg = _setup(0)
+    parent = ongrid_parent(jnp.asarray(rho), tuple(w), None)
+    parent_flat = parent.reshape(-1)
+    rho_flat = jnp.asarray(rho).reshape(-1)
+    n = rho_flat.shape[0]
+    stop = jnp.zeros((n,), dtype=bool)
+    rng = np.random.default_rng(42)
+    starts = rng.choice(n, size=64, replace=False).astype(np.int32)
+    padded = jnp.asarray(ng.pad_starts(starts))
+    pos, done = ng.walk(
+        padded, rho_flat, parent_flat, stop, jnp.asarray(tg), SHAPE,
+        strict_grad=False,
+    )
+    pos = np.asarray(pos)[: len(starts)]
+    assert np.asarray(done)[: len(starts)].all()
+    ny, nz = SHAPE[1], SHAPE[2]
+    for s, p in zip(starts, pos):
+        sv = (s // (ny * nz), (s // nz) % ny, s % nz)
+        expect = neargrid_trajectory(rho, w, tg, sv, strict_grad=False)
+        got = (p // (ny * nz), (p // nz) % ny, p % nz)
+        assert got == expect, f"start {sv}: got {got}, want {expect}"
+
+
+def test_walker_with_stop_mask():
+    rho, w, tg = _setup(1)
+    labels, _ = ongrid_oracle(rho, w)
+    known = edge_scan(rho, labels)
+    parent = ongrid_parent(jnp.asarray(rho), tuple(w), None)
+    starts = np.flatnonzero(known.reshape(-1) == -2).astype(np.int32)[:64]
+    stop = jnp.asarray((known == 2).reshape(-1))
+    padded = jnp.asarray(ng.pad_starts(starts))
+    pos, done = ng.walk(
+        padded, jnp.asarray(rho).reshape(-1), parent.reshape(-1), stop,
+        jnp.asarray(tg), SHAPE, strict_grad=True,
+    )
+    pos = np.asarray(pos)[: len(starts)]
+    ny, nz = SHAPE[1], SHAPE[2]
+    stop_h = np.asarray(stop)
+    for s, p in zip(starts, pos):
+        sv = (s // (ny * nz), (s // nz) % ny, s % nz)
+        expect = neargrid_trajectory(
+            rho, w, tg, sv, stop_mask=(known == 2), strict_grad=True
+        )
+        got = (p // (ny * nz), (p // nz) % ny, p % nz)
+        assert got == expect, f"start {sv}: got {got}, want {expect}"
+
+
+def test_edge_find_matches_oracle():
+    rho, w, _ = _setup(2)
+    labels, _ = ongrid_oracle(rho, w)
+    known = np.asarray(edges_ops.edge_find(jnp.asarray(rho), jnp.asarray(labels)))
+    ref = edge_scan(rho, labels)
+    np.testing.assert_array_equal(known, ref)
+
+
+def test_edge_find_with_vacuum():
+    rho, w, _ = _setup(3)
+    vac = rho <= np.quantile(rho, 0.3)
+    labels, _ = ongrid_oracle(rho, w, vacuum=vac)
+    known = np.asarray(edges_ops.edge_find(jnp.asarray(rho), jnp.asarray(labels)))
+    ref = edge_scan(rho, labels)
+    np.testing.assert_array_equal(known, ref)
+
+
+def test_neargrid_partition_covers_grid():
+    rho, w, tg = _setup(4)
+    labels, maxima = pipeline.partition_neargrid(rho, None, tuple(w), tg)
+    labels = np.asarray(labels)
+    assert (labels >= 0).all()
+    assert labels.max() == len(maxima) - 1
+    # every maximum voxel is labelled with its own basin id
+    for i, m in enumerate(maxima):
+        assert labels[tuple(m)] == i
+
+
+def test_refinement_converges_and_is_idempotent():
+    rho, w, tg = _setup(5)
+    labels, maxima = pipeline.partition_ongrid(rho, None, tuple(w))
+    refined, changed1 = pipeline.refine_labels(
+        "neargrid", ("all", -1), rho, labels, tuple(w), tg, verbose=False
+    )
+    # converged: running again changes nothing
+    refined2, changed2 = pipeline.refine_labels(
+        "neargrid", ("all", -1), rho, refined, tuple(w), tg, verbose=False
+    )
+    assert changed2 == 0
+    np.testing.assert_array_equal(np.asarray(refined), np.asarray(refined2))
+    # label set is preserved (no basin ids invented)
+    assert set(np.unique(np.asarray(refined))) <= set(
+        range(len(maxima))
+    ) | {-1}
+
+
+def test_refine_modes_agree_at_convergence():
+    rho, w, tg = _setup(6)
+    labels, _ = pipeline.partition_ongrid(rho, None, tuple(w))
+    ref_all, _ = pipeline.refine_labels(
+        "neargrid", ("all", -1), rho, labels, tuple(w), tg, verbose=False
+    )
+    ref_chg, _ = pipeline.refine_labels(
+        "neargrid", ("changed", -1), rho, labels, tuple(w), tg, verbose=False
+    )
+    np.testing.assert_array_equal(np.asarray(ref_all), np.asarray(ref_chg))
+
+
+def test_unknown_refine_method_is_noop():
+    rho, w, tg = _setup(7)
+    labels, _ = pipeline.partition_ongrid(rho, None, tuple(w))
+    out, changed = pipeline.refine_labels(
+        "ongrid", ("changed", 2), rho, labels, tuple(w), tg, verbose=False
+    )
+    assert changed == 0
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(labels))
