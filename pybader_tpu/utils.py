@@ -1,0 +1,91 @@
+"""Host-side utility helpers: dtype policy, text formatting, stdout tools.
+
+Behavioural parity targets in the reference:
+ - dtype_calc       (utils.py:15-37)
+ - fortran_format   (utils.py:40-82)  — including its string-truncation
+   behaviour when rounding crosses a power of ten
+ - python_format    (utils.py:85-94)
+ - nostdout         (utils.py:97-104)
+"""
+from __future__ import annotations
+
+import sys
+from contextlib import contextmanager
+from io import StringIO
+
+import numpy as np
+
+
+def dtype_calc(max_val) -> str:
+    """Smallest integer dtype able to represent max_val.
+
+    Negative input selects a signed dtype sized for +/- that magnitude.
+    """
+    signed = max_val < 0
+    mag = -2 * max_val if signed else max_val
+    names = (
+        ["int8", "int16", "int32", "int64"] if signed
+        else ["uint8", "uint16", "uint32", "uint64"]
+    )
+    for name, limit in zip(names, (255, 65535, 4294967295)):
+        if mag <= limit:
+            return name
+    return names[3]
+
+
+def fortran_format(a: np.ndarray, prec: int) -> str:
+    """Format a 2-D array in Fortran 'standard form' rows.
+
+    Every number is written with a zero integer part (mantissa shifted one
+    place right) and negative numbers replace the leading zero with a minus:
+    ``0.12345E+02`` / ``-.12345E+02``.
+    """
+    rows, cols = a.shape
+    flat = a.reshape(-1)
+    out = []
+    for i, v in enumerate(flat):
+        if v == 0.0:
+            s = " 0." + "0" * prec + "E+00"
+        else:
+            av = abs(v)
+            exp = int(np.floor(np.log10(av))) + 1
+            value = int(0.5 + av / 10.0 ** (exp - prec))
+            digits = str(value)[:prec].ljust(prec, "0")
+            sign = " -." if v < 0 else " 0."
+            esign = "E-" if exp < 0 else "E+"
+            s = f"{sign}{digits}{esign}{abs(exp):02d}"
+        out.append(s)
+        if (i + 1) % cols == 0:
+            out.append("\n")
+    return "".join(out)
+
+
+def python_format(a: np.ndarray, prec: int, align: str = "") -> str:
+    """Format a 2-D array in standard exponent form, one row per line."""
+    fmt = (f" {{:{align}.{prec}E}}" * a.shape[1] + "\n") * a.shape[0]
+    return fmt.format(*a.reshape(-1))
+
+
+@contextmanager
+def nostdout():
+    """Temporarily silence stdout."""
+    saved = sys.stdout
+    sys.stdout = StringIO()
+    try:
+        yield
+    finally:
+        sys.stdout = saved
+
+
+def parse_float_block(text: str, count: int) -> np.ndarray:
+    """Parse whitespace-separated floats from text (first ``count`` values).
+
+    Uses the native C++ fast parser when built (see native/), falling back
+    to numpy.  This is the hot path of CHGCAR reading.
+    """
+    try:
+        from pybader_tpu.io._fastparse import parse_floats  # noqa
+        return parse_floats(text, count)
+    except Exception:
+        vals = np.array(text.split()[:count], dtype=np.float64)
+        return vals

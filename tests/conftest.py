@@ -1,12 +1,18 @@
 """Test configuration: force CPU with 8 virtual devices for mesh tests.
 
-Must run before jax is imported anywhere.
+The container pins JAX_PLATFORMS=axon (the TPU tunnel) via sitecustomize,
+so the env var alone is not enough — override the jax config directly
+before any device is touched.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,54 @@
+"""Mesh-shape parity: sharded partition must match single-device exactly.
+
+The TPU analog of the reference's thread-count-invariance assumption
+(results must not depend on the chunking).  Runs on 8 virtual CPU devices
+(see conftest.py).
+"""
+import numpy as np
+import jax
+
+from tests.test_ongrid import LATTICE, SHAPE, make_density
+
+from pybader_tpu import grid as g
+from pybader_tpu import pipeline
+from pybader_tpu.parallel import make_mesh, sharded_partition, sharded_step
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_partition_matches_single_device():
+    rho = make_density(0)
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    labels_1, maxima_1 = pipeline.partition_ongrid(rho, None, w)
+    for n in (2, 4, 8):
+        mesh = make_mesh(n)
+        labels_n, maxima_n = sharded_partition(mesh, rho, None, w)
+        np.testing.assert_array_equal(
+            np.asarray(labels_n), np.asarray(labels_1)
+        )
+        np.testing.assert_array_equal(maxima_n, maxima_1)
+
+
+def test_sharded_partition_with_vacuum():
+    rho = make_density(1)
+    vac = rho <= np.quantile(rho, 0.3)
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    labels_1, maxima_1 = pipeline.partition_ongrid(rho, vac, w)
+    mesh = make_mesh(8)
+    labels_n, maxima_n = sharded_partition(mesh, rho, vac, w)
+    np.testing.assert_array_equal(np.asarray(labels_n), np.asarray(labels_1))
+    np.testing.assert_array_equal(maxima_n, maxima_1)
+
+
+def test_sharded_step_runs_and_counts_maxima():
+    rho = make_density(2)
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    _, maxima = pipeline.partition_ongrid(rho, None, w)
+    mesh = make_mesh(8)
+    roots, n_max, charge = sharded_step(mesh, rho, w)
+    assert int(n_max) == len(maxima)
+    np.testing.assert_allclose(
+        float(np.asarray(charge).sum()), rho.sum(), rtol=1e-12
+    )
