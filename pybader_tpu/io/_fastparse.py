@@ -1,0 +1,66 @@
+"""ctypes binding for the native float-block parser (native/fastparse.cpp).
+
+Builds the shared library lazily on first use (g++ -O3) and caches it next
+to this module.  Falls back cleanly: callers catch any exception raised here
+and use the numpy parse path (pybader_tpu/utils.py:parse_float_block).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, os.pardir, os.pardir, "native", "fastparse.cpp")
+_LIB_PATH = os.path.join(_HERE, "libfastparse.so")
+_lib = None
+
+
+def _build():
+    src = os.path.abspath(_SRC)
+    if not os.path.isfile(src):
+        raise FileNotFoundError(src)
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+        "-o", _LIB_PATH, src,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.isfile(_LIB_PATH) or (
+        os.path.isfile(_SRC)
+        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
+    ):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.fp_parse.restype = ctypes.c_long
+    lib.fp_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def parse_floats(text: str, count: int, n_threads: int | None = None
+                 ) -> np.ndarray:
+    """Parse the first ``count`` whitespace-separated floats from text."""
+    lib = _load()
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    buf = text.encode() if isinstance(text, str) else bytes(text)
+    out = np.empty(count, dtype=np.float64)
+    got = lib.fp_parse(
+        buf, len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        count, n_threads,
+    )
+    if got < count:
+        raise ValueError(f"expected {count} floats, parsed {got}")
+    return out

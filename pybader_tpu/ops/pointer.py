@@ -77,15 +77,36 @@ def compact_labels(roots: jax.Array, maxima_sorted: jax.Array,
     return labels.reshape(roots.shape), order
 
 
-def label_volumes(parent, vacuum=None):
-    """Host-orchestrated: roots -> (labels, maxima voxel coords in label order).
+def resolve_roots_auto(parent, best_k=None):
+    """Resolve roots with the fastest available backend.
+
+    On TPU-like backends with chase-kernel-compatible shapes this uses the
+    Pallas roll-select chase (pybader_tpu/ops/pallas_chase.py) — XLA's
+    gather is ~45M lookups/s on TPU, making classic doubling the pipeline
+    bottleneck.  Elsewhere (CPU tests, odd shapes) falls back to pointer
+    doubling.
+    """
+    from pybader_tpu.ops import pallas_chase
+
+    platform = jax.default_backend()
+    if platform != "cpu" and pallas_chase.supports_shape(parent.shape):
+        try:
+            if best_k is None:
+                best_k = pallas_chase.step_code_from_parent(parent)
+            return pallas_chase.resolve_roots_pallas(parent, best_k)
+        except Exception:  # pragma: no cover - kernel unsupported: fall back
+            pass
+    return resolve_roots(parent)
+
+
+def label_from_roots(roots, vacuum=None):
+    """roots -> (labels, maxima voxel coords in label order).
 
     Returns (labels int32 array, maxima (M,3) int64 numpy array).  The maxima
     count is data-dependent so this leaves jit for one host round-trip, then
     re-enters a (shape, M)-specialised jitted compaction.
     """
-    roots = resolve_roots(parent)
-    shape = parent.shape
+    shape = roots.shape
     self_idx = np.arange(np.prod(shape), dtype=np.int32).reshape(shape)
     roots_h = np.asarray(roots)
     is_max = roots_h == self_idx
@@ -103,3 +124,8 @@ def label_volumes(parent, vacuum=None):
     mz = max_flat % nz
     maxima = np.stack([mx, my, mz], axis=1).astype(np.int64)
     return labels, maxima
+
+
+def label_volumes(parent, vacuum=None, best_k=None):
+    """parent pointers -> (labels, maxima) via root resolution + compaction."""
+    return label_from_roots(resolve_roots_auto(parent, best_k), vacuum)

@@ -75,6 +75,120 @@ def ongrid_parent(reference: jax.Array, weights: tuple,
     return parent
 
 
+@partial(jax.jit, static_argnames=("weights",))
+def ongrid_step_codes(reference: jax.Array, weights: tuple) -> jax.Array:
+    """Per-voxel ascent step code (uint8, OFFSETS order; 13 == maximum).
+
+    Memory-bounded variant of :func:`ongrid_parent`: a fori loop over the 27
+    offsets with traced roll shifts keeps XLA's live temporaries to a few
+    grid-sized buffers (the fully unrolled form materialises ~27 f64 temps,
+    which under x64 emulation exceeds HBM at 512^3).
+    """
+    offs = jnp.asarray(np.asarray(OFFSETS, dtype=np.int32))
+    w = jnp.asarray(np.asarray(weights), dtype=reference.dtype)
+
+    def body(k, state):
+        best_val, best_k = state
+        sh = offs[k]
+        rolled = jnp.roll(
+            reference, shift=(-sh[0], -sh[1], -sh[2]), axis=(0, 1, 2)
+        )
+        val = (rolled - reference) * w[k] + reference
+        upd = (val > best_val) & (k != SELF_INDEX)
+        best_val = jnp.where(upd, val, best_val)
+        best_k = jnp.where(upd, k.astype(jnp.uint8), best_k)
+        return best_val, best_k
+
+    init = (reference, jnp.full(reference.shape, SELF_INDEX, dtype=jnp.uint8))
+    _, best_k = jax.lax.fori_loop(jnp.int32(0), jnp.int32(27), body, init)
+    return best_k
+
+
+@jax.jit
+def parent_from_step_codes(best_k: jax.Array,
+                           vacuum: jax.Array | None = None) -> jax.Array:
+    """Decode step codes to flat int32 parent indices."""
+    nx, ny, nz = best_k.shape
+    offs = np.asarray(OFFSETS, dtype=np.int32)
+    ox = jnp.asarray(offs[:, 0])[best_k]
+    oy = jnp.asarray(offs[:, 1])[best_k]
+    oz = jnp.asarray(offs[:, 2])[best_k]
+    x = jax.lax.broadcasted_iota(jnp.int32, best_k.shape, 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, best_k.shape, 1)
+    z = jax.lax.broadcasted_iota(jnp.int32, best_k.shape, 2)
+    px = jnp.remainder(x + ox, nx)
+    py = jnp.remainder(y + oy, ny)
+    pz = jnp.remainder(z + oz, nz)
+    parent = (px * ny + py) * nz + pz
+    if vacuum is not None:
+        self_idx = (x * ny + y) * nz + z
+        parent = jnp.where(vacuum, self_idx, parent)
+    return parent
+
+
+def _slab_divisor(nx: int, target: int = 32) -> int:
+    """Largest divisor of nx that is <= target (1 worst case)."""
+    for s in range(min(target, nx), 0, -1):
+        if nx % s == 0:
+            return s
+    return 1
+
+
+@partial(jax.jit, static_argnames=("weights", "slab"))
+def ongrid_parent_slabbed(reference: jax.Array, weights: tuple,
+                          vacuum: jax.Array | None = None,
+                          slab: int = 0) -> jax.Array:
+    """Memory-bounded ongrid parent: slab-wise sweep under lax.map.
+
+    Semantically identical to :func:`ongrid_parent` but processes the grid in
+    x-slabs (with one-plane periodic halos) so XLA's temporaries are bounded
+    by the slab size.  Needed for large float64 grids: the fused full-grid
+    formulation materialises tens of grid-sized f64 temps under x64 emulation
+    (512^3 would need ~28 GB of HBM scratch).
+    """
+    nx, ny, nz = reference.shape
+    if slab == 0:
+        slab = _slab_divisor(nx)
+    n_slabs = nx // slab
+    offs = np.asarray(OFFSETS, dtype=np.int32)
+
+    def one_slab(s):
+        rows = jnp.remainder(s * slab + jnp.arange(-1, slab + 1), nx)
+        d = jnp.take(reference, rows, axis=0)  # (slab+2, ny, nz)
+        rho = d[1:-1]
+        best_val = rho
+        best_k = jnp.full(rho.shape, SELF_INDEX, dtype=jnp.uint8)
+        for k, (ox, oy, oz) in enumerate(OFFSETS):
+            if k == SELF_INDEX:
+                continue
+            w = weights[k]
+            shifted = jnp.roll(d, shift=(-oy, -oz), axis=(1, 2))
+            shifted = jax.lax.dynamic_slice_in_dim(shifted, 1 + ox, slab, 0)
+            val = (shifted - rho) * w + rho
+            upd = val > best_val
+            best_val = jnp.where(upd, val, best_val)
+            best_k = jnp.where(upd, jnp.uint8(k), best_k)
+        # decode to flat parent indices for this slab
+        ox_ = jnp.asarray(offs[:, 0])[best_k]
+        oy_ = jnp.asarray(offs[:, 1])[best_k]
+        oz_ = jnp.asarray(offs[:, 2])[best_k]
+        x = s * slab + jax.lax.broadcasted_iota(jnp.int32, rho.shape, 0)
+        y = jax.lax.broadcasted_iota(jnp.int32, rho.shape, 1)
+        z = jax.lax.broadcasted_iota(jnp.int32, rho.shape, 2)
+        px = jnp.remainder(x + ox_, nx)
+        py = jnp.remainder(y + oy_, ny)
+        pz = jnp.remainder(z + oz_, nz)
+        parent = (px * ny + py) * nz + pz
+        if vacuum is not None:
+            vac = jax.lax.dynamic_slice_in_dim(vacuum, s * slab, slab, 0)
+            self_idx = (x * ny + y) * nz + z
+            parent = jnp.where(vac, self_idx, parent)
+        return parent
+
+    parent = jax.lax.map(one_slab, jnp.arange(n_slabs, dtype=jnp.int32))
+    return parent.reshape(nx, ny, nz)
+
+
 @jax.jit
 def self_index(shape_like: jax.Array) -> jax.Array:
     """Flat index of each voxel of a 3-D array (int32)."""

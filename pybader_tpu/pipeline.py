@@ -15,8 +15,24 @@ import jax.numpy as jnp
 
 from pybader_tpu.ops import edges as edges_ops
 from pybader_tpu.ops import neargrid as neargrid_ops
-from pybader_tpu.ops.pointer import label_volumes, resolve_roots
-from pybader_tpu.ops.stencil import ongrid_parent
+from pybader_tpu.ops.pointer import (
+    label_from_roots, label_volumes, resolve_roots_auto,
+)
+from pybader_tpu.ops.stencil import (
+    ongrid_parent, ongrid_step_codes, parent_from_step_codes,
+)
+
+
+def _parent_and_codes(reference, vacuum, weights):
+    """Step codes + decoded parents (memory-bounded stencil).
+
+    Vacuum voxels are forced to the self step so they never move.
+    """
+    bk = ongrid_step_codes(reference, tuple(weights))
+    if vacuum is not None:
+        bk = jnp.where(vacuum, jnp.uint8(13), bk)
+    parent = parent_from_step_codes(bk)
+    return parent, bk
 
 METHODS = ["ongrid", "neargrid"]
 REFINEMENT_METHODS = ["neargrid"]
@@ -38,8 +54,8 @@ def partition_ongrid(reference, vacuum, weights):
     """
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
-    parent = ongrid_parent(reference, tuple(weights), vac)
-    return label_volumes(parent, vac)
+    parent, bk = _parent_and_codes(reference, vac, weights)
+    return label_volumes(parent, vac, bk)
 
 
 def partition_neargrid(reference, vacuum, weights, t_grad,
@@ -53,9 +69,9 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     vac = None if vacuum is None else jnp.asarray(vacuum)
     shape = reference.shape
     n = int(np.prod(shape))
-    parent = ongrid_parent(reference, tuple(weights), vac)
+    parent, bk = _parent_and_codes(reference, vac, weights)
     parent_flat = parent.reshape(-1)
-    roots_flat = resolve_roots(parent).reshape(-1)
+    roots_flat = None  # computed lazily, only if a trajectory hits the cap
     rho_flat = reference.reshape(-1)
     stop_flat = jnp.zeros((n,), dtype=bool)
     t_grad = jnp.asarray(t_grad)
@@ -74,11 +90,16 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
             shape, strict_grad=False,
         )
         # step-cap stragglers resolve through their ongrid root (a maximum)
-        pos = jnp.where(done, pos, jnp.take(roots_flat, pos, mode="clip"))
+        if not bool(jnp.all(done)):
+            if roots_flat is None:
+                roots_flat = resolve_roots_auto(parent, bk).reshape(-1)
+            pos = jnp.where(done, pos,
+                            jnp.take(roots_flat, pos, mode="clip"))
         final[chunk] = np.asarray(pos)[: len(chunk)]
 
     final_dev = jnp.asarray(final.reshape(shape))
-    return label_volumes(final_dev, vac)
+    # trajectories already terminate at maxima: `final` is its own root map
+    return label_from_roots(final_dev, vac)
 
 
 def refine_labels(method: str, refine_mode, reference, labels, weights,
@@ -106,8 +127,9 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     shape = reference.shape
     t_grad = jnp.asarray(t_grad)
     vac = labels == -1
-    parent_flat = ongrid_parent(reference, tuple(weights), vac).reshape(-1)
-    roots_flat = resolve_roots(parent_flat)
+    parent, bk = _parent_and_codes(reference, vac, weights)
+    parent_flat = parent.reshape(-1)
+    roots_flat = None  # computed lazily, only if a trajectory hits the cap
     rho_flat = reference.reshape(-1)
 
     known = edges_ops.edge_find(reference, labels)
@@ -128,7 +150,11 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             padded, rho_flat, parent_flat, stop_flat, t_grad, shape,
             strict_grad=True,
         )
-        pos = jnp.where(done, pos, jnp.take(roots_flat, pos, mode="clip"))
+        if not bool(jnp.all(done)):
+            if roots_flat is None:
+                roots_flat = resolve_roots_auto(parent, bk).reshape(-1)
+            pos = jnp.where(done, pos,
+                            jnp.take(roots_flat, pos, mode="clip"))
         labels_flat = labels.reshape(-1)
         starts_dev = padded[: len(starts)]
         new_lab = jnp.take(labels_flat, pos[: len(starts)], mode="clip")
