@@ -45,12 +45,24 @@ def _pick_block(n: int, target: int) -> int:
     return n
 
 
-def _make_kernel(nx, ny, nz, bx, by, halo):
+def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
+    """Kernel factory; n_payloads int32 arrays are chased with shared codes.
+
+    Payload 0 is the pointer array (convergence is tested on it — its chain
+    values never repeat before the root); extra payloads (e.g. dense basin
+    labels seeded at the maxima) ride along through identical roll-selects.
+    """
     rx = bx + 2 * halo
     ry = by + 2 * halo
 
-    def kernel(flags_ref, a_any, bk_any, out_ref, done_ref,
-               a_loc, bk_loc, sems):
+    def kernel(flags_ref, *refs):
+        p_any = refs[:n_payloads]
+        bk_any = refs[n_payloads]
+        out_refs = refs[n_payloads + 1:2 * n_payloads + 1]
+        done_ref = refs[2 * n_payloads + 1]
+        p_loc = refs[2 * n_payloads + 2:3 * n_payloads + 2]
+        bk_loc = refs[3 * n_payloads + 2]
+        sems = refs[3 * n_payloads + 3]
         i = pl.program_id(0)
         j = pl.program_id(1)
         gy = pl.num_programs(1)
@@ -60,14 +72,19 @@ def _make_kernel(nx, ny, nz, bx, by, halo):
 
         @pl.when(jnp.logical_not(active))
         def _copy_through():
-            cp = pltpu.make_async_copy(
-                a_any.at[pl.ds(pl.multiple_of(x0, 8), bx),
-                         pl.ds(pl.multiple_of(y0, 8), by), :],
-                out_ref,
-                sems.at[jnp.int32(0)],
-            )
-            cp.start()
-            cp.wait()
+            cps = [
+                pltpu.make_async_copy(
+                    p_any[m].at[pl.ds(pl.multiple_of(x0, 8), bx),
+                                pl.ds(pl.multiple_of(y0, 8), by), :],
+                    out_refs[m],
+                    sems.at[jnp.int32(m)],
+                )
+                for m in range(n_payloads)
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
             done_ref[:] = jnp.full((8, 128), jnp.int32(1), dtype=jnp.int32)
 
         @pl.when(active)
@@ -88,20 +105,17 @@ def _make_kernel(nx, ny, nz, bx, by, halo):
             ys = [(pl.multiple_of(s, 8), l, d) for (s, l, d) in ys]
             copies = []
             c = 0
+            srcs = list(p_any) + [bk_any]
+            dsts = list(p_loc) + [bk_loc]
             for (sx, lx, dx) in xs:
                 for (sy, ly, dy) in ys:
-                    copies.append(pltpu.make_async_copy(
-                        a_any.at[pl.ds(sx, lx), pl.ds(sy, ly), :],
-                        a_loc.at[pl.ds(dx, lx), pl.ds(dy, ly), :],
-                        sems.at[jnp.int32(c)],
-                    ))
-                    c += 1
-                    copies.append(pltpu.make_async_copy(
-                        bk_any.at[pl.ds(sx, lx), pl.ds(sy, ly), :],
-                        bk_loc.at[pl.ds(dx, lx), pl.ds(dy, ly), :],
-                        sems.at[jnp.int32(c)],
-                    ))
-                    c += 1
+                    for src, dst in zip(srcs, dsts):
+                        copies.append(pltpu.make_async_copy(
+                            src.at[pl.ds(sx, lx), pl.ds(sy, ly), :],
+                            dst.at[pl.ds(dx, lx), pl.ds(dy, ly), :],
+                            sems.at[jnp.int32(c)],
+                        ))
+                        c += 1
             for cp in copies:
                 cp.start()
             for cp in copies:
@@ -110,108 +124,147 @@ def _make_kernel(nx, ny, nz, bx, by, halo):
             # v5e vector compare is 32-bit only: widen the uint8 codes once
             bk = bk_loc[:].astype(jnp.int32)
 
-            # One pass: out[i] = a[i + off(bk[i])].  Nested fori loops
-            # serialise the rolls (a flat unrolled version keeps all 26
-            # rolled copies alive and OOMs VMEM) and reuse partial x/y
-            # rolls: 30 rolls/pass instead of 81.  Offset code
-            # k = (ox+1)*9 + (oy+1)*3 + (oz+1); k == 13 is the self step
-            # and harmlessly selects `a` itself.
-            def one_pass(a):
-                def over_dx(kx, out):
+            # One pass: out[i] = a[i + off(bk[i])] for every payload.
+            # Nested fori loops serialise the rolls (a flat unrolled version
+            # keeps all 26 rolled copies alive and OOMs VMEM) and reuse
+            # partial x/y rolls.  Offset code k = (ox+1)*9 + (oy+1)*3 +
+            # (oz+1); k == 13 is the self step and harmlessly selects the
+            # input itself.
+            def one_pass(vals):
+                def over_dx(kx, outs):
                     sx = jax.lax.rem(jnp.int32(rx) + jnp.int32(1) - kx,
                                      jnp.int32(rx))
-                    ax = pltpu.roll(a, sx, 0)
+                    vx = tuple(pltpu.roll(v, sx, 0) for v in vals)
 
-                    def over_dy(ky, out2):
+                    def over_dy(ky, outs2):
                         sy = jax.lax.rem(jnp.int32(ry) + jnp.int32(1) - ky,
                                          jnp.int32(ry))
-                        axy = pltpu.roll(ax, sy, 1)
+                        vxy = tuple(pltpu.roll(v, sy, 1) for v in vx)
                         base = kx * jnp.int32(9) + ky * jnp.int32(3)
                         for kz, dz in enumerate((-1, 0, 1)):
-                            if dz:
-                                r = pltpu.roll(axy, np.int32((-dz) % nz), 2)
-                            else:
-                                r = axy
-                            out2 = jnp.where(
-                                bk == base + jnp.int32(kz), r, out2)
-                        return out2
+                            m = bk == base + jnp.int32(kz)
+                            new_outs = []
+                            for v, o in zip(vxy, outs2):
+                                if dz:
+                                    r = pltpu.roll(
+                                        v, np.int32((-dz) % nz), 2)
+                                else:
+                                    r = v
+                                new_outs.append(jnp.where(m, r, o))
+                            outs2 = tuple(new_outs)
+                        return outs2
 
                     return jax.lax.fori_loop(
-                        jnp.int32(0), jnp.int32(3), over_dy, out)
+                        jnp.int32(0), jnp.int32(3), over_dy, outs)
 
                 return jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(3), over_dx, a)
+                    jnp.int32(0), jnp.int32(3), over_dx, vals)
 
-            def cond(state):
-                t, changed = state
-                return jnp.logical_and(t < jnp.int32(halo),
-                                       changed > jnp.int32(0))
+            if early_exit:
+                def cond(state):
+                    t, changed = state
+                    return jnp.logical_and(t < jnp.int32(halo),
+                                           changed > jnp.int32(0))
 
-            def body(state):
-                t, _ = state
-                a = a_loc[:]
-                new = one_pass(a)
-                a_loc[:] = new
-                diff = (
-                    new[halo:halo + bx, halo:halo + by, :]
-                    != a[halo:halo + bx, halo:halo + by, :]
+                def body(state):
+                    t, _ = state
+                    vals = tuple(ref[:] for ref in p_loc)
+                    new = one_pass(vals)
+                    for ref, v in zip(p_loc, new):
+                        ref[:] = v
+                    # convergence is exact on the pointer payload only
+                    diff = (
+                        new[0][halo:halo + bx, halo:halo + by, :]
+                        != vals[0][halo:halo + bx, halo:halo + by, :]
+                    )
+                    changed = jnp.max(
+                        jnp.where(diff, jnp.int32(1), jnp.int32(0)))
+                    return t + jnp.int32(1), changed
+
+                _, changed = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), jnp.int32(1))
                 )
-                changed = jnp.max(
-                    jnp.where(diff, jnp.int32(1), jnp.int32(0)))
-                return t + jnp.int32(1), changed
+            else:
+                # replay mode: fixed pass count, no convergence test (label
+                # payloads can stall mid-chain and would falsely early-exit)
+                def body(t, carry):
+                    vals = tuple(ref[:] for ref in p_loc)
+                    new = one_pass(vals)
+                    for ref, v in zip(p_loc, new):
+                        ref[:] = v
+                    return carry
 
-            _, changed = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), jnp.int32(1))
-            )
-            out_ref[:] = a_loc[halo:halo + bx, halo:halo + by, :]
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(halo), body,
+                                  jnp.int32(0))
+                changed = jnp.int32(0)
+            for m in range(n_payloads):
+                out_refs[m][:] = p_loc[m][halo:halo + bx, halo:halo + by, :]
             done_ref[:] = jnp.full((8, 128), jnp.int32(1) - changed,
                                    dtype=jnp.int32)
 
     return kernel, rx, ry
 
 
+@partial(jax.jit, static_argnames=("bx", "by", "halo", "early_exit"))
+def chase_sweep(a, bk, flags, bx, by, halo, early_exit=True):
+    """One haloed multi-pass sweep over the grid (pointer payload only)."""
+    (out,), done = _chase_sweep_multi((a,), bk, flags, bx, by, halo,
+                                      early_exit)
+    return out, done
+
+
 @partial(jax.jit, static_argnames=("bx", "by", "halo"))
-def chase_sweep(a, bk, flags, bx, by, halo):
-    """One haloed multi-pass sweep over the grid.
+def chase_sweep_labels(a, labels, bk, flags, bx, by, halo):
+    """Sweep chasing pointers and a rider label payload together."""
+    (out_a, out_l), done = _chase_sweep_multi(
+        (a, labels), bk, flags, bx, by, halo)
+    return out_a, out_l, done
+
+
+def _chase_sweep_multi(payloads, bk, flags, bx, by, halo, early_exit=True):
+    """Shared driver: payloads is a tuple of int32 grids (pointers first).
 
     args:
         bk: (nx,ny,nz) uint8 step codes.
         flags: (gx*gy,) int32; blocks with flag 0 are copied through
                untouched and report done.
-    returns (new_a, done) with done an (gx*8, gy*128) int32 block map
-    (sliced [::8, ::128] for the per-block value).
+    returns (payload outputs tuple, done block map (gx*8, gy*128) int32,
+    sliced [::8, ::128] for the per-block value).
     """
-    nx, ny, nz = a.shape
-    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo)
+    m = len(payloads)
+    nx, ny, nz = payloads[0].shape
+    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=m,
+                                  early_exit=early_exit)
     grid = (nx // bx, ny // by)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (m + 1),
         out_specs=(
-            pl.BlockSpec((bx, by, nz), lambda i, j, *_: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
+            tuple(
+                pl.BlockSpec((bx, by, nz), lambda i, j, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(m)
+            )
+            + (pl.BlockSpec((8, 128), lambda i, j, *_: (i, j),
+                            memory_space=pltpu.VMEM),)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((rx, ry, nz), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rx, ry, nz), jnp.int32)] * m + [
             pltpu.VMEM((rx, ry, nz), jnp.uint8),
-            pltpu.SemaphoreType.DMA((18,)),
+            pltpu.SemaphoreType.DMA((9 * (m + 1),)),
         ],
     )
-    out, done = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((nx, ny, nz), jnp.int32),
-            jax.ShapeDtypeStruct((grid[0] * 8, grid[1] * 128), jnp.int32),
+            tuple(jax.ShapeDtypeStruct((nx, ny, nz), jnp.int32)
+                  for _ in range(m))
+            + (jax.ShapeDtypeStruct(
+                (grid[0] * 8, grid[1] * 128), jnp.int32),)
         ),
-    )(flags, a, bk)
-    return out, done
+    )(flags, *payloads, bk)
+    return outs[:m], outs[m]
 
 
 def _dilate_blocks(notdone):
@@ -268,16 +321,49 @@ def _run_chase(parent, best_k, bx, by, h, max_sweeps):
     gx, gy = nx // bx, ny // by
     a = parent
     flags = jnp.ones((gx * gy,), dtype=jnp.int32)
+    schedule = []
     for _ in range(max_sweeps):
+        schedule.append(flags)
         a, done = chase_sweep(a, best_k, flags, bx, by, h)
         flags, any_nd = _next_flags(done)
         if not bool(any_nd):
             break
-    return a
+    return a, (bx, by, h, schedule)
+
+
+def replay_payload(values, best_k, schedule):
+    """Replay a recorded chase schedule on another payload.
+
+    ``values`` must hold the final value at every self-parent voxel
+    (maxima/vacuum); other entries converge to their root's value.  Each
+    replayed sweep runs the full fixed pass count, which is >= the pass
+    count the recorded pointer chase used, so the payload is at least as
+    converged as the pointers were (post-fixed-point passes are no-ops).
+    """
+    bx, by, h, flags_list = schedule
+    with jax.enable_x64(False):
+        for flags in flags_list:
+            values, _ = chase_sweep(values, best_k, flags, bx, by, h,
+                                    early_exit=False)
+    return values
+
+
+def _run_chase_labels(parent, labels0, best_k, bx, by, h, max_sweeps):
+    nx, ny, nz = parent.shape
+    gx, gy = nx // bx, ny // by
+    a, l = parent, labels0
+    flags = jnp.ones((gx * gy,), dtype=jnp.int32)
+    for _ in range(max_sweeps):
+        a, l, done = chase_sweep_labels(a, l, best_k, flags, bx, by, h)
+        flags, any_nd = _next_flags(done)
+        if not bool(any_nd):
+            break
+    return a, l
 
 
 def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
-                         block_target: int = 16, halo: int = 8):
+                         block_target: int = 16, halo: int = 8,
+                         return_schedule: bool = False):
     """Resolve ascent pointers to roots using the Pallas chase kernel.
 
     Host-driven sweep loop (a lax.while_loop driver measured ~4x slower on
@@ -306,7 +392,108 @@ def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
             if bx % 8 or by % 8 or h % 8:
                 continue
             try:
-                return _run_chase(parent, bk8, bx, by, h, max_sweeps)
+                roots, schedule = _run_chase(
+                    parent, bk8, bx, by, h, max_sweeps)
+                if return_schedule:
+                    return roots, schedule
+                return roots
             except Exception as e:  # VMEM overflow at compile: try smaller
                 last_err = e
         raise last_err
+
+
+def resolve_labels_pallas(parent, best_k, seed_labels,
+                          max_sweeps: int = 4096,
+                          block_target: int = 16, halo: int = 8):
+    """Chase pointers and a rider payload (dense labels) together.
+
+    ``seed_labels`` must hold the final value at every self-parent voxel
+    (maxima/vacuum); all other entries may be arbitrary — they converge to
+    their root's seed.  returns (roots, labels).
+    """
+    nx, ny, nz = parent.shape
+    with jax.enable_x64(False):
+        bk8 = best_k
+        last_err = None
+        # twin payload doubles the VMEM footprint: smaller defaults
+        for bt_x, bt_y, h0 in ((block_target, block_target, halo),
+                               (16, 8, 8), (8, 8, 8)):
+            bx = _pick_block(nx, bt_x)
+            by = _pick_block(ny, bt_y)
+            h = min(h0, bx, by)
+            if bx % 8 or by % 8 or h % 8:
+                continue
+            try:
+                return _run_chase_labels(
+                    parent, seed_labels, bk8, bx, by, h, max_sweeps)
+            except Exception as e:  # VMEM overflow at compile: try smaller
+                last_err = e
+        raise last_err
+
+
+TAG = jnp.int32(1 << 28)  # flat indices < 2^27 (512^3), labels < 2^27
+
+
+@partial(jax.jit, static_argnames=("has_vacuum",))
+def _oneshot_seed(best_k, vacuum, has_vacuum):
+    """Fused seed construction: one program, minimal live intermediates."""
+    shape = best_k.shape
+    nx, ny, nz = shape
+    is_self = best_k == jnp.uint8(13)
+    is_max = (is_self & ~vacuum) if has_vacuum else is_self
+    flat_max = is_max.reshape(-1)
+    ranks = (jnp.cumsum(flat_max.astype(jnp.int32)) - 1).reshape(shape)
+    n_maxima = jnp.sum(flat_max.astype(jnp.int32))
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    z = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    self_idx = (x * ny + y) * nz + z
+    seed = jnp.where(is_max, TAG | ranks, self_idx)
+    if has_vacuum:
+        seed = jnp.where(vacuum, TAG | n_maxima, seed)
+    return seed, n_maxima
+
+
+def labels_oneshot(best_k, vacuum=None, **kw):
+    """Dense basin labels in ONE chase: seed maxima, propagate downhill.
+
+    The chase kernel moves *values* along the static bk-coded parent edges,
+    so seeding maxima with tag-bit-marked label ids and every other voxel
+    with its own flat index converges each voxel to its root's label.  The
+    tag bit keeps pre-arrival values (injective pointer compositions) and
+    labels in disjoint ranges, so the kernel's exact convergence test still
+    holds, and a label front adjacent to any block forces a change there —
+    no block can stall undone.
+
+    Labels are numbered by maximum flat index (ascending).  Vacuum voxels
+    (self-step) keep a sentinel and come back as -1.
+
+    returns (labels int32 grid, n_maxima int).
+    """
+    shape = best_k.shape
+    with jax.enable_x64(False):
+        has_vac = vacuum is not None
+        # best_k doubles as an (unused, DCE'd) dummy when there is no vacuum
+        seed, n_max_dev = _oneshot_seed(
+            best_k, vacuum if has_vac else best_k, has_vac,
+        )
+        n_maxima = int(n_max_dev)
+        sentinel = jnp.int32(n_maxima)
+        nx_, ny_, nz_ = shape
+        last_err = None
+        for bt_x, bt_y, h0 in ((16, 16, 8), (16, 8, 8), (8, 8, 8)):
+            bx = _pick_block(nx_, bt_x)
+            by = _pick_block(ny_, bt_y)
+            h = min(h0, bx, by)
+            if bx % 8 or by % 8 or h % 8:
+                continue
+            try:
+                out, _ = _run_chase(seed, best_k, bx, by, h, 4096)
+                break
+            except Exception as e:
+                last_err = e
+        else:
+            raise last_err
+        labels = out & (TAG - 1)
+        labels = jnp.where(labels == sentinel, jnp.int32(-1), labels)
+    return labels, n_maxima

@@ -38,11 +38,35 @@ def charge_volume_sum(density: jax.Array, labels: jax.Array,
     Equivalent to reference charge_sum (utils.py:235-252): charge[l] =
     voxel_volume * sum(density where labels==l); volume[l] = voxel_volume *
     count(labels==l).
+
+    For small label counts a sequential masked-sum sweep is used instead of
+    segment_sum: f64 scatter-add is ~12x slower than f64 tree reductions
+    under TPU x64 emulation (measured 5.3s vs 0.4s at 384^3), while K full
+    masked passes are bandwidth-bound.
     """
     flat_lab = labels.reshape(-1)
+    flat_rho = density.reshape(-1)
+    if num_segments <= 1024 and flat_lab.size >= (1 << 22):
+        group = 8  # 8 masks per grid pass (multi-output reduction fusion;
+        # a broadcasted (group, n) formulation materialises ~n*group f64)
+        n_groups = -(-num_segments // group)
+
+        def one(k0):
+            cs, vs = [], []
+            for j in range(group):
+                m = flat_lab == k0 + j
+                cs.append(jnp.sum(jnp.where(m, flat_rho, 0.0)))
+                vs.append(jnp.sum(jnp.where(m, 1.0, 0.0)))
+            return jnp.stack(cs), jnp.stack(vs)
+
+        starts = jnp.arange(n_groups, dtype=flat_lab.dtype) * group
+        charge, volume = jax.lax.map(one, starts)
+        charge = charge.reshape(-1)[:num_segments]
+        volume = volume.reshape(-1)[:num_segments]
+        return charge * voxel_vol, volume * voxel_vol
     seg = jnp.where(flat_lab < 0, jnp.int32(num_segments), flat_lab)
     charge = jax.ops.segment_sum(
-        density.reshape(-1), seg, num_segments=num_segments + 1
+        flat_rho, seg, num_segments=num_segments + 1
     )[:num_segments] * voxel_vol
     ones = jnp.ones(flat_lab.shape, dtype=density.dtype)
     volume = jax.ops.segment_sum(
