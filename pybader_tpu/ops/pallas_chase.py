@@ -121,8 +121,6 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
             for cp in copies:
                 cp.wait()
 
-            # v5e vector compare is 32-bit only: widen the uint8 codes once
-            bk = bk_loc[:].astype(jnp.int32)
 
             # One pass: out[i] = a[i + off(bk[i])] for every payload.
             # Nested fori loops serialise the rolls (a flat unrolled version
@@ -141,8 +139,11 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
                                          jnp.int32(ry))
                         vxy = tuple(pltpu.roll(v, sy, 1) for v in vx)
                         base = kx * jnp.int32(9) + ky * jnp.int32(3)
+                        # v5e vector compare is 32-bit only; widening at the
+                        # compare keeps no persistent int32 copy of the codes
                         for kz, dz in enumerate((-1, 0, 1)):
-                            m = bk == base + jnp.int32(kz)
+                            m = (bk_loc[:].astype(jnp.int32)
+                                 == base + jnp.int32(kz))
                             new_outs = []
                             for v, o in zip(vxy, outs2):
                                 if dz:
@@ -262,6 +263,11 @@ def _chase_sweep_multi(payloads, bk, flags, bx, by, halo, early_exit=True):
                   for _ in range(m))
             + (jax.ShapeDtypeStruct(
                 (grid[0] * 8, grid[1] * 128), jnp.int32),)
+        ),
+        # v5e has 128 MiB of VMEM; the default Mosaic budget is far smaller
+        # and rejects the (16,16,8) config at nz=512
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(flags, *payloads, bk)
     return outs[:m], outs[m]
@@ -383,9 +389,16 @@ def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
     with jax.enable_x64(False):
         bk8 = best_k
         last_err = None
-        # halo and blocks must stay multiples of 8 (DMA tile alignment)
-        for bt_x, bt_y, h0 in ((block_target, block_target, halo),
-                               (16, 8, 8), (8, 8, 8)):
+        # halo and blocks must stay multiples of 8 (DMA tile alignment);
+        # measured on v5e: fine blocks win at <=384^3 (skip-flag granularity)
+        # while bigger blocks win at 512^3 (halo redundancy dominates)
+        if nx * ny * nz >= 512 ** 3:
+            configs = ((64, 32, 8), (32, 32, 8), (16, 16, 8),
+                       (16, 8, 8), (8, 8, 8))
+        else:
+            configs = ((block_target, block_target, halo),
+                       (16, 8, 8), (8, 8, 8))
+        for bt_x, bt_y, h0 in configs:
             bx = _pick_block(nx, bt_x)
             by = _pick_block(ny, bt_y)
             h = min(h0, bx, by)
@@ -481,7 +494,12 @@ def labels_oneshot(best_k, vacuum=None, **kw):
         sentinel = jnp.int32(n_maxima)
         nx_, ny_, nz_ = shape
         last_err = None
-        for bt_x, bt_y, h0 in ((16, 16, 8), (16, 8, 8), (8, 8, 8)):
+        if nx_ * ny_ * nz_ >= 512 ** 3:
+            configs = ((64, 32, 8), (32, 32, 8), (16, 16, 8),
+                       (16, 8, 8), (8, 8, 8))
+        else:
+            configs = ((16, 16, 8), (16, 8, 8), (8, 8, 8))
+        for bt_x, bt_y, h0 in configs:
             bx = _pick_block(nx_, bt_x)
             by = _pick_block(ny_, bt_y)
             h = min(h0, bx, by)

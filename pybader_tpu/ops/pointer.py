@@ -89,7 +89,12 @@ def resolve_roots_auto(parent, best_k=None):
     from pybader_tpu.ops import pallas_chase
 
     platform = jax.default_backend()
-    if platform != "cpu" and pallas_chase.supports_shape(parent.shape):
+    single_device = (
+        not hasattr(parent, "sharding")
+        or len(getattr(parent.sharding, "device_set", [None])) <= 1
+    )
+    if (platform != "cpu" and single_device
+            and pallas_chase.supports_shape(parent.shape)):
         try:
             if best_k is None:
                 best_k = pallas_chase.step_code_from_parent(parent)
