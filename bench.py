@@ -69,7 +69,12 @@ def run_one(size: int):
         from pybader_tpu.ops import reductions
 
         vac = rho_dev <= vac_tol
-        bk = ongrid_step_codes(rho_dev, w)
+        if use_pallas:
+            from pybader_tpu.ops.pallas_stencil import ongrid_step_codes_dd
+
+            bk = ongrid_step_codes_dd(rho_dev, w)
+        else:
+            bk = ongrid_step_codes(rho_dev, w)
         bk = jnp.where(vac, jnp.uint8(13), bk)
         if use_pallas:
             labels, n_max = pallas_chase.labels_oneshot(bk, vac)
