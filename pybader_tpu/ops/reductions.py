@@ -75,6 +75,63 @@ def charge_volume_sum(density: jax.Array, labels: jax.Array,
     return charge, volume
 
 
+@partial(jax.jit, static_argnames=("num_segments", "with_mask"))
+def masked_min_sweep(values: jax.Array, labels: jax.Array,
+                     num_segments: int, mask: jax.Array | None = None,
+                     with_mask: bool = False):
+    """Per-label minimum of ``values`` without scatter (masked sweeps).
+
+    Same rationale as the masked path in :func:`charge_volume_sum`:
+    per-element scatter is ~45M ops/s on TPU while full-grid masked tree
+    reductions are bandwidth-bound.  ``mask`` optionally restricts which
+    elements participate (e.g. only maxima).  Elements never selected give
+    int32 max.
+    """
+    big = jnp.iinfo(jnp.int32).max
+    flat_lab = labels.reshape(-1)
+    flat_val = values.reshape(-1)
+    if with_mask:
+        flat_val = jnp.where(mask.reshape(-1), flat_val, big)
+    group = 8
+    n_groups = -(-num_segments // group)
+
+    def one(k0):
+        outs = []
+        for j in range(group):
+            m = flat_lab == k0 + j
+            outs.append(jnp.min(jnp.where(m, flat_val, big)))
+        return jnp.stack(outs)
+
+    starts = jnp.arange(n_groups, dtype=flat_lab.dtype) * group
+    mins = jax.lax.map(one, starts)
+    return mins.reshape(-1)[:num_segments]
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def remap_sweep(labels: jax.Array, table: jax.Array,
+                num_segments: int) -> jax.Array:
+    """labels -> table[labels] without a full-grid gather (masked sweeps).
+
+    Negative labels are preserved.  Used to renumber basins to the
+    reference's discovery order on TPU, where an n-element gather into a
+    small table costs ~n/45M s but K masked selects are bandwidth-bound.
+    """
+    flat = labels.reshape(-1)
+    out = jnp.where(flat < 0, flat, jnp.int32(0))
+    group = 8  # 8 selects per grid pass
+
+    def body(g, out):
+        k0 = g * jnp.int32(group)
+        for j in range(group):
+            k = k0 + jnp.int32(j)
+            out = jnp.where(flat == k, table[k].astype(jnp.int32), out)
+        return out
+
+    n_groups = -(-num_segments // group)
+    out = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_groups), body, out)
+    return out.reshape(labels.shape)
+
+
 @jax.jit
 def relabel(labels: jax.Array, swap: jax.Array) -> jax.Array:
     """Remap non-negative labels through a lookup table (vacuum preserved).

@@ -41,19 +41,79 @@ REFINEMENT_METHODS = ["neargrid"]
 _WALK_BATCH = 1 << 21
 
 
-def partition_ongrid(reference, vacuum, weights):
-    """Ongrid partition: stencil parents + pointer doubling.
+def _use_tpu_fast_path(shape):
+    from pybader_tpu.ops import pallas_chase
+
+    return (
+        jax.default_backend() != "cpu"
+        and pallas_chase.supports_shape(shape)
+    )
+
+
+def _partition_ongrid_tpu(reference, vac, weights, exact_stencil=False):
+    """Gather/scatter-free TPU partition with discovery-order labels.
+
+    1. dd-Pallas stencil -> step codes (or the exact-f64 XLA stencil).
+    2. One-shot label chase -> dense labels in maximum-flat-index order.
+    3. Discovery-order renumbering: first basin member and the maximum
+       position per label via masked-min sweeps; small argsort; full-grid
+       renumber via select sweeps (all bandwidth-bound; no 45M-ops/s
+       gathers or scatters anywhere).
+    """
+    from pybader_tpu.ops import pallas_chase, pallas_stencil, reductions
+
+    shape = reference.shape
+    if not exact_stencil and pallas_stencil.supports_shape(shape):
+        bk = pallas_stencil.ongrid_step_codes_dd(reference, tuple(weights))
+    else:
+        bk = ongrid_step_codes(reference, tuple(weights))
+    if vac is not None:
+        bk = jnp.where(vac, jnp.uint8(13), bk)
+    labels_mo, n_max = pallas_chase.labels_oneshot(bk, vac)
+    n_max = max(int(n_max), 1)
+    if n_max > 4096:
+        # degenerate basin counts: fall back to the compaction path
+        parent = parent_from_step_codes(bk)
+        return label_volumes(parent, vac, bk)
+    nx, ny, nz = shape
+    iota = jnp.arange(nx * ny * nz, dtype=jnp.int32).reshape(shape)
+    is_max = bk == jnp.uint8(13)
+    if vac is not None:
+        is_max = is_max & ~vac
+    first_member = reductions.masked_min_sweep(iota, labels_mo, n_max)
+    max_pos = reductions.masked_min_sweep(
+        iota, labels_mo, n_max, is_max, with_mask=True
+    )
+    first_h = np.asarray(first_member)
+    order = np.argsort(first_h, kind="stable").astype(np.int32)
+    rank = np.argsort(order, kind="stable").astype(np.int32)
+    labels = reductions.remap_sweep(labels_mo, jnp.asarray(rank), n_max)
+    max_flat = np.asarray(max_pos)[order]
+    maxima = np.stack(
+        [max_flat // (ny * nz), (max_flat // nz) % ny, max_flat % nz],
+        axis=1,
+    ).astype(np.int64)
+    return labels, maxima
+
+
+def partition_ongrid(reference, vacuum, weights, exact_stencil=False):
+    """Ongrid partition: stencil parents + pointer-chain resolution.
 
     args:
         reference: (nx,ny,nz) density (device or numpy, f64).
         vacuum: bool mask or None.
         weights: 27 distance weights (OFFSETS order), tuple of floats.
+        exact_stencil: force the exact-f64 XLA stencil even on TPU (the
+            dd-Pallas stencil carries ~48 mantissa bits vs f64's 53; no
+            mismatch has been observed, but this is the guarantee knob).
     returns:
         (labels int32 device array [-1=vacuum, 0..M-1 basins],
          maxima (M,3) int64 voxel indices in discovery order)
     """
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
+    if _use_tpu_fast_path(reference.shape):
+        return _partition_ongrid_tpu(reference, vac, weights, exact_stencil)
     parent, bk = _parent_and_codes(reference, vac, weights)
     return label_volumes(parent, vac, bk)
 
