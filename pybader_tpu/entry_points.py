@@ -59,6 +59,11 @@ def _parse_vacuum(value):
 def bader(argv=None):
     """Main CLI: run a Bader calculation on a density file."""
     config_writer(quiet=True)
+    try:  # persistent XLA compilation cache: first runs compile, later
+        from pybader_tpu.precompile import enable_persistent_cache
+        enable_persistent_cache()  # runs (even across processes) reuse
+    except Exception:
+        pass
     config = ConfigParser()
     config.read(__config__)
 

@@ -487,16 +487,18 @@ class Bader:
         atoms = self.atoms - self.voxel_offset
         labels = jnp.asarray(np.asarray(self.atoms_volumes), dtype=jnp.int32)
         known = edges_ops.edge_find(jnp.asarray(self.reference), labels)
-        edge_idx = np.flatnonzero(
-            np.asarray(known).reshape(-1) == -2
-        ).astype(np.int32)
-        if len(edge_idx) == 0:
+        edge_mask = (known == -2).reshape(-1)
+        n_edges = int(jnp.sum(edge_mask))
+        if n_edges == 0:
             print("  No edges found.")
             self.atoms_surface_distance = np.zeros(self.atoms.shape[0])
             return
+        size = max(4096, 1 << (n_edges - 1).bit_length())
+        if size.bit_length() % 2 == 0:
+            size <<= 1  # powers of 4: fewer compile buckets
+        edge_idx = reductions.compact_indices(edge_mask, size)
         dist = atoms_ops.surface_distance_from_edges(
-            jnp.asarray(neargrid_ops.pad_starts(edge_idx)),
-            labels.reshape(-1), jnp.asarray(self.lattice),
+            edge_idx, labels.reshape(-1), jnp.asarray(self.lattice),
             jnp.asarray(atoms), tuple(self.density.shape),
             int(self.atoms.shape[0]),
         )

@@ -145,8 +145,8 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
     return pos, done
 
 
-def pad_starts(idx, min_size: int = 1024):
-    """Pad a flat index list to the next power-of-two length with -1.
+def pad_starts(idx, min_size: int = 4096):
+    """Pad a flat index list to the next power-of-four length with -1.
 
     Bucketing lengths limits jit recompilation of the walker across
     refinement iterations.
@@ -155,6 +155,10 @@ def pad_starts(idx, min_size: int = 1024):
 
     n = max(int(len(idx)), 1)
     size = max(min_size, 1 << (n - 1).bit_length())
+    # coarsen to powers of 4: each distinct walker size costs a fresh XLA
+    # compile, and refinement iterations shrink the edge set every round
+    if size.bit_length() % 2 == 0:
+        size <<= 1
     out = np.full(size, -1, dtype=np.int32)
     out[: len(idx)] = idx
     return out

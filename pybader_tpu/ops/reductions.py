@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.jit
@@ -130,6 +131,22 @@ def remap_sweep(labels: jax.Array, table: jax.Array,
     n_groups = -(-num_segments // group)
     out = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_groups), body, out)
     return out.reshape(labels.shape)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def compact_indices(mask: jax.Array, size: int) -> jax.Array:
+    """Flat indices of True entries, padded with -1, via a device sort.
+
+    jnp.nonzero(size=...) lowers poorly under x64 (5.2s at 56M on v5e);
+    a 32-bit key sort does the same compaction in ~0.2s.
+    """
+    flat = mask.reshape(-1)
+    n = flat.shape[0]
+    with jax.enable_x64(False):
+        big = jnp.int32(np.iinfo(np.int32).max)
+        keys = jnp.where(flat, jnp.arange(n, dtype=jnp.int32), big)
+        out = jax.lax.sort(keys)[:size]
+        return jnp.where(out == big, jnp.int32(-1), out)
 
 
 @jax.jit

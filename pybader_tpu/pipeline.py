@@ -23,12 +23,28 @@ from pybader_tpu.ops.stencil import (
 )
 
 
-def _parent_and_codes(reference, vacuum, weights):
+def _step_codes_auto(reference, weights, exact_stencil=False):
+    """Step codes via the fastest suitable stencil backend.
+
+    The dd-Pallas stencil is used on TPU-supported shapes (validated
+    mismatch-free against the exact-f64 stencil); partition and refinement
+    must use the same backend so their ascent decisions agree.
+    """
+    from pybader_tpu.ops import pallas_stencil
+
+    if (not exact_stencil and jax.default_backend() != "cpu"
+            and pallas_stencil.supports_shape(reference.shape)):
+        return pallas_stencil.ongrid_step_codes_dd(
+            reference, tuple(weights))
+    return ongrid_step_codes(reference, tuple(weights))
+
+
+def _parent_and_codes(reference, vacuum, weights, exact_stencil=False):
     """Step codes + decoded parents (memory-bounded stencil).
 
     Vacuum voxels are forced to the self step so they never move.
     """
-    bk = ongrid_step_codes(reference, tuple(weights))
+    bk = _step_codes_auto(reference, weights, exact_stencil)
     if vacuum is not None:
         bk = jnp.where(vacuum, jnp.uint8(13), bk)
     parent = parent_from_step_codes(bk)
@@ -63,10 +79,7 @@ def _partition_ongrid_tpu(reference, vac, weights, exact_stencil=False):
     from pybader_tpu.ops import pallas_chase, pallas_stencil, reductions
 
     shape = reference.shape
-    if not exact_stencil and pallas_stencil.supports_shape(shape):
-        bk = pallas_stencil.ongrid_step_codes_dd(reference, tuple(weights))
-    else:
-        bk = ongrid_step_codes(reference, tuple(weights))
+    bk = _step_codes_auto(reference, weights, exact_stencil)
     if vac is not None:
         bk = jnp.where(vac, jnp.uint8(13), bk)
     labels_mo, n_max = pallas_chase.labels_oneshot(bk, vac)
@@ -118,17 +131,42 @@ def partition_ongrid(reference, vacuum, weights, exact_stencil=False):
     return label_volumes(parent, vac, bk)
 
 
+# Above this voxel count, method='neargrid' initialises with ongrid and
+# runs neargrid edge refinement to convergence instead of walking every
+# voxel's trajectory: identical converged result, ~2 orders of magnitude
+# cheaper (per-voxel trajectory walking is gather-bound on TPU).
+_NEARGRID_HYBRID_THRESHOLD = 1 << 24
+
+
 def partition_neargrid(reference, vacuum, weights, t_grad,
-                       batch: int = _WALK_BATCH):
+                       batch: int = _WALK_BATCH,
+                       full_trajectories: bool | None = None):
     """Neargrid partition: every voxel walks its full trajectory.
 
     Order-independent formulation of reference methods.py:222-611 (see
-    ops/neargrid.py docstring for the documented deviation).
+    ops/neargrid.py docstring for the documented deviation).  On grids
+    above ~16M voxels (or with full_trajectories=False) the equivalent
+    hybrid is used: ongrid initialisation + neargrid edge refinement run to
+    its fixed point — the same construction as the reference's own 'speed'
+    profile, converging to the same refined state the full-trajectory
+    formulation approximates.
     """
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
     shape = reference.shape
     n = int(np.prod(shape))
+    if full_trajectories is None:
+        full_trajectories = n <= _NEARGRID_HYBRID_THRESHOLD
+    if not full_trajectories:
+        labels, maxima = partition_ongrid(reference, vac, weights)
+        labels, _ = refine_labels(
+            "neargrid", ("changed", -1), reference, labels, weights,
+            t_grad, verbose=False,
+        )
+        # refinement reassigns edge voxels among the existing basin ids;
+        # numbering and the maxima list stay those of the initialisation
+        # (the reference likewise fixes them at bader_calc time)
+        return labels, maxima
     parent, bk = _parent_and_codes(reference, vac, weights)
     parent_flat = parent.reshape(-1)
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
@@ -197,18 +235,32 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     it = 0
     while it < max_iters:
         it += 1
-        starts = np.flatnonzero(np.asarray(known).reshape(-1) == -2)
-        if len(starts) == 0:
+        edge_mask = (known == -2).reshape(-1)
+        n_edges = int(jnp.sum(edge_mask))
+        if n_edges == 0:
             if verbose and it == 1:
                 print("  No edges found.")
             break
         if verbose:
-            print(f"  Iteration {it}: refining {len(starts)} edges")
-        padded = jnp.asarray(neargrid_ops.pad_starts(starts.astype(np.int32)))
+            print(f"  Iteration {it}: refining {n_edges} edges")
+        # device-side compaction (sort-based: jnp.nonzero(size=) costs
+        # seconds under x64) — avoids shipping the full known grid to the
+        # host every iteration
+        from pybader_tpu.ops.reductions import compact_indices
+
+        size = max(4096, 1 << (n_edges - 1).bit_length())
+        if size.bit_length() % 2 == 0:
+            size <<= 1  # powers of 4: fewer walker compile buckets
+        starts_dev_padded = compact_indices(edge_mask, size)
+        starts = np.asarray(starts_dev_padded[:n_edges])
+        padded = starts_dev_padded
         stop_flat = (known == 2).reshape(-1)
+        # cap trajectories: period>2 cycles escape the walker's revisit
+        # detection and would otherwise spin to the global cap; stragglers
+        # resolve through their ongrid root below
         pos, done = neargrid_ops.walk(
             padded, rho_flat, parent_flat, stop_flat, t_grad, shape,
-            strict_grad=True,
+            strict_grad=True, max_steps=192,
         )
         if not bool(jnp.all(done)):
             if roots_flat is None:

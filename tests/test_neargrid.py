@@ -136,3 +136,39 @@ def test_unknown_refine_method_is_noop():
     )
     assert changed == 0
     np.testing.assert_array_equal(np.asarray(out), np.asarray(labels))
+
+
+def test_neargrid_hybrid_mode_converges_same():
+    """Hybrid (ongrid + refine-to-convergence) vs full trajectories.
+
+    Both approximate the refined fixed point; per-basin charges must agree
+    tightly on a well-separated density.
+    """
+    from tests.test_io import ATOMS
+    from tests.oracle import gaussian_density
+
+    centers = ATOMS @ np.linalg.inv(LATTICE)
+    rho = gaussian_density(SHAPE, LATTICE, centers, [0.9, 0.8], [2.0, 1.5])
+    rho = rho + 1e-8
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    tg = g.t_grad(LATTICE, SHAPE)
+    lab_full, max_full = pipeline.partition_neargrid(
+        rho, None, w, tg, full_trajectories=True
+    )
+    lab_hyb, max_hyb = pipeline.partition_neargrid(
+        rho, None, w, tg, full_trajectories=False
+    )
+    assert len(max_full) == len(max_hyb)
+    from pybader_tpu.ops import reductions
+    import pybader_tpu.grid as grid_mod
+
+    vv = grid_mod.voxel_volume(LATTICE, SHAPE)
+    c_full, _ = reductions.charge_volume_sum(
+        jnp.asarray(rho), jnp.asarray(lab_full), vv, len(max_full)
+    )
+    c_hyb, _ = reductions.charge_volume_sum(
+        jnp.asarray(rho), jnp.asarray(lab_hyb), vv, len(max_hyb)
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(c_full)), np.sort(np.asarray(c_hyb)), rtol=1e-3
+    )
