@@ -29,7 +29,6 @@ from pybader_tpu import grid as _grid
 from pybader_tpu import pipeline
 from pybader_tpu.ops import atoms as atoms_ops
 from pybader_tpu.ops import edges as edges_ops
-from pybader_tpu.ops import neargrid as neargrid_ops
 from pybader_tpu.ops import reductions
 from pybader_tpu.utils import dtype_calc
 

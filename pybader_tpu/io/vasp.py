@@ -14,7 +14,8 @@ from time import time
 
 import numpy as np
 
-from pybader_tpu.utils import fortran_format, parse_float_block, python_format
+from pybader_tpu.utils import (fortran_format, parse_float_block,
+                               python_format, tqdm_wrap)
 
 __extensions__ = ["chgcar", ".vasp"]
 __args__ = ["charge_flag", "spin_flag", "buffer_size"]
@@ -137,13 +138,13 @@ def read(fn, charge_flag=True, spin_flag=False, buffer_size=64):
     return density, lattice, atoms, file_info
 
 
-def _write_block(f, arr3d, output_format, chunk_lines=4096):
+def _write_block(f, arr3d, output_format, chunk_lines=4096, desc=""):
     """Write one density block, 5 values per line, z-fastest order."""
     flat = np.swapaxes(arr3d, 0, -1).reshape(-1)
     lines = flat.shape[0] // 5
     rem = flat.shape[0] % 5
     body = flat[: lines * 5].reshape(lines, 5)
-    for lo in range(0, lines, chunk_lines):
+    for lo in tqdm_wrap(range(0, lines, chunk_lines), desc=desc):
         f.write(output_format(body[lo:lo + chunk_lines], 11))
     if rem:
         f.write(output_format(flat[-rem:].reshape(1, rem), 11))
@@ -202,7 +203,9 @@ def write(fn, atoms, lattice, density, file_info, prefix="", suffix="-CHGCAR"):
         x, y, z = shape
         if file_info.get("charge_flag", True) and "charge" in density:
             f.write(f" {x:>5} {y:>5} {z:>5}\n")
-            _write_block(f, density["charge"] * lattice_vol, output_format)
+            _write_block(f, density["charge"] * lattice_vol, output_format,
+                         desc=f"{fn}:")
         if file_info.get("spin_flag", False) and "spin" in density:
             f.write(f" {x:>5} {y:>5} {z:>5}\n")
-            _write_block(f, density["spin"] * lattice_vol, output_format)
+            _write_block(f, density["spin"] * lattice_vol, output_format,
+                         desc=f"{fn}:")

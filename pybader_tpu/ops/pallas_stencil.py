@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pybader_tpu.grid import OFFSETS, SELF_INDEX  # noqa: F401
+from pybader_tpu.grid import SELF_INDEX
 
 
 # ---------------------------------------------------------------- dd algebra

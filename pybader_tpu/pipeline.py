@@ -19,7 +19,7 @@ from pybader_tpu.ops.pointer import (
     label_from_roots, label_volumes, resolve_roots_auto,
 )
 from pybader_tpu.ops.stencil import (
-    ongrid_parent, ongrid_step_codes, parent_from_step_codes,
+    ongrid_step_codes, parent_from_step_codes,
 )
 
 

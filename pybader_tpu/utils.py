@@ -66,6 +66,43 @@ def python_format(a: np.ndarray, prec: int, align: str = "") -> str:
     return fmt.format(*a.reshape(-1))
 
 
+def tqdm_wrap(*args, **kwargs):
+    """Progress-bar wrapper matching the reference's formatting.
+
+    Returns a plain passthrough iterator when tqdm is unavailable.
+    """
+    try:
+        from shutil import get_terminal_size
+
+        from tqdm import tqdm
+    except ImportError:  # pragma: no cover
+        class _Passthrough:
+            def __init__(self, it=None, **kw):
+                self._it = it
+
+            def __iter__(self):
+                return iter(self._it or ())
+
+            def update(self, *_):
+                pass
+
+            def close(self):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+        return _Passthrough(args[0] if args else None)
+    ncols, _ = get_terminal_size((0, 0))
+    bar_format = "  {desc} [{bar}] {percentage:3.0f}% {elapsed}<{remaining}  "
+    ncols = 80 if ncols >= 80 else None
+    return tqdm(*args, ascii=True, ncols=ncols, bar_format=bar_format,
+                file=sys.stdout, **kwargs)
+
+
 @contextmanager
 def nostdout():
     """Temporarily silence stdout."""
