@@ -176,3 +176,66 @@ def test_cli_dat_output(tmp_path, monkeypatch):
     bader_cli(["CHGCAR", "-m", "ongrid", "-r", "1", "-o", "dat"])
     assert (tmp_path / "CHGCAR-atoms.dat").exists()
     assert (tmp_path / "CHGCAR-volumes.dat").exists()
+
+
+def test_bader_read_vacuum_rethreshold(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    rho = atomic_density()
+    _write_chgcar(tmp_path / "CHGCAR", rho)
+    from pybader_tpu.entry_points import bader as bader_cli
+    from pybader_tpu.entry_points import bader_read
+
+    bader_cli(["CHGCAR", "-m", "ongrid", "-r", "1"])
+    capsys.readouterr()
+    bader_read(["bader.p", "-vac", "auto", "-a"])
+    out = capsys.readouterr().out
+    assert "Vacuum Charge:" in out
+    # conservation after re-threshold
+    import pickle
+
+    with open("bader.p", "rb") as f:
+        bader = pickle.load(f)
+    # re-run the rethreshold path on the object directly
+    bader.vacuum_tol = 1e-3
+    bader.volumes_init(volumes=bader.atoms_volumes)
+    bader.atoms_volumes = bader.bader_volumes
+    bader.sum_volumes()
+    total = bader.atoms_charge.sum() + bader.vacuum_charge
+    np.testing.assert_allclose(
+        total, bader.density.sum() * bader.voxel_volume, rtol=1e-10
+    )
+
+
+def test_cli_reference_density_sum(tmp_path, monkeypatch):
+    """-ref: reference densities are read and summed (doc'd behaviour;
+    the reference implementation overwrote instead of summing)."""
+    monkeypatch.chdir(tmp_path)
+    rho = atomic_density()
+    _write_chgcar(tmp_path / "CHGCAR", rho)
+    _write_chgcar(tmp_path / "REF1.vasp", rho * 0.5)
+    _write_chgcar(tmp_path / "REF2.vasp", rho * 0.5)
+    from pybader_tpu.entry_points import bader as bader_cli
+
+    bader_cli(["CHGCAR", "-m", "ongrid", "-r", "0",
+               "-ref", "REF1.vasp", "REF2.vasp"])
+    import pickle
+
+    with open("bader.p", "rb") as f:
+        bader = pickle.load(f)
+    # partitioning used the summed reference (== rho) — charges sane
+    np.testing.assert_allclose(
+        bader.atoms_charge.sum(),
+        bader.density.sum() * bader.voxel_volume, rtol=1e-10,
+    )
+
+
+def test_cli_export_all_atoms(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rho = atomic_density()
+    _write_chgcar(tmp_path / "CHGCAR", rho)
+    from pybader_tpu.entry_points import bader as bader_cli
+
+    bader_cli(["CHGCAR", "-m", "ongrid", "-r", "1", "-x",
+               "-e", "all_atoms"])
+    assert (tmp_path / "Bader-atoms-0-CHGCAR").exists()
+    assert (tmp_path / "Bader-atoms-1-CHGCAR").exists()
