@@ -1,24 +1,45 @@
-"""Manual pipeline for the speed profile — mirrors reference examples/bader.py.
+"""Speed-profile pipeline, stage by stage.
 
-Usage: python bader_speed.py path/to/density
+Runs the same stages ``Bader.__call__`` runs for the built-in 'speed'
+profile (ongrid partition, atom assignment first, then neargrid refinement
+of the atom partition — skipping the per-basin refine+sum pass), but
+invoked manually so each stage can be timed or swapped.  Matches the
+reference's speed-profile acceptance workload.
+
+Usage: python bader_speed.py path/to/density [--no-spin]
 """
 import sys
-from time import time
+from time import perf_counter
 
 from pybader_tpu.interface import Bader
 
-t0 = time()
-bader = Bader.from_file(sys.argv[1], spin_flag=True)
-bader.load_config('speed')
-bader.spin_flag = True  # loading the speed config resets all config vars
-bader.volumes_init()
-bader.bader_calc()
-bader.bader_to_atom_distance()
-bader.refine_volumes(bader.atoms_volumes)
-bader.min_surface_distance()
-bader.sum_volumes()
-print('\n  Writing output file: ', end='')
-if bader.output == 'pickle':
-    bader.to_file()
-print('Done.')
-print(f"Time taken: {time() - t0:.3f}s")
+path = sys.argv[1]
+want_spin = "--no-spin" not in sys.argv[2:]
+
+stages = []
+
+
+def stage(name, fn, *args):
+    t0 = perf_counter()
+    out = fn(*args)
+    stages.append((name, perf_counter() - t0))
+    return out
+
+
+bader = Bader.from_file(path, spin_flag=want_spin)
+bader.load_config("speed")
+bader.spin_flag = want_spin  # load_config resets every config attribute
+
+stage("vacuum mask", bader.volumes_init)
+stage("partition", bader.bader_calc)
+stage("atom assignment", bader.bader_to_atom_distance)
+stage("refinement", bader.refine_volumes, bader.atoms_volumes)
+stage("surface distance", bader.min_surface_distance)
+stage("charge sums", bader.sum_volumes)
+if bader.output == "pickle":
+    stage("pickle", bader.to_file)
+
+print()
+for name, dt in stages:
+    print(f"  {name:<18s} {dt:8.3f}s")
+print(f"  {'total':<18s} {sum(dt for _, dt in stages):8.3f}s")

@@ -60,10 +60,17 @@ def bader(argv=None):
     """Main CLI: run a Bader calculation on a density file."""
     config_writer(quiet=True)
     try:  # persistent XLA compilation cache: first runs compile, later
-        from pybader_tpu.precompile import enable_persistent_cache
-        enable_persistent_cache()  # runs (even across processes) reuse
-    except Exception:
-        pass
+        from pybader_tpu.precompile import enable_persistent_cache, warm
+        cache_dir = enable_persistent_cache()  # later runs reuse binaries
+        if not os.listdir(cache_dir):
+            # first run ever: seed the cache with the hot stages (the
+            # reference warms its numba cache at install; jits.py analog)
+            print("  First run: warming the compilation cache... ",
+                  end="", flush=True)
+            warm()
+            print("done.")
+    except Exception as e:
+        print(f"  (compilation cache unavailable: {e})")
     config = ConfigParser()
     config.read(__config__)
 
@@ -85,7 +92,12 @@ def bader(argv=None):
                              "int [int ...]")
     parser.add_argument('-p', '--prefix', nargs='?', const=False,
                         help="Output filename prefix")
-    parser.add_argument('-i', '--file-type', nargs=1,
+    from inspect import getmembers, ismodule
+
+    from pybader_tpu import io
+    ichoice = [name for name, mod in getmembers(io, ismodule)
+               if hasattr(mod, 'read')]
+    parser.add_argument('-i', '--file-type', nargs=1, choices=ichoice,
                         help="File type of the input")
     parser.add_argument('-j', '--threads', nargs=1, type=int,
                         help="Host threads for file parsing (compute runs "
@@ -100,6 +112,11 @@ def bader(argv=None):
                         choices=['pickle', 'dat'], help="Output format")
     parser.add_argument('-c', '--config', nargs=1, choices=config.keys(),
                         help=f"Load a profile from '{__config__}'")
+    parser.add_argument('--profile', nargs='?', const='bader-profile',
+                        metavar='DIR',
+                        help="Write a jax.profiler trace of the run to DIR "
+                             "(default ./bader-profile; view with "
+                             "tensorboard/xprof)")
     args = vars(parser.parse_args(argv))
 
     config_key = args['config'][0] if args['config'] is not None else 'DEFAULT'
@@ -158,7 +175,14 @@ def bader(argv=None):
                 print("  ERROR: Reference and density have different grids.")
                 sys.exit(1)
         bader_obj.reference = reference
-    bader_obj()
+    if args.get('profile') is not None:
+        import jax
+
+        with jax.profiler.trace(args['profile']):
+            bader_obj()
+        print(f"\n  Profiler trace written to '{args['profile']}'.")
+    else:
+        bader_obj()
     print(f"\n  Total time taken {time() - t0:.3f}s\n")
 
 

@@ -17,8 +17,10 @@ from __future__ import annotations
 import os
 from ast import literal_eval
 from configparser import ConfigParser
+from contextlib import contextmanager
 from inspect import getmembers, ismodule
 from pickle import dump
+from time import perf_counter
 
 import numpy as np
 import pandas as pd
@@ -33,6 +35,24 @@ from pybader_tpu.ops import reductions
 from pybader_tpu.utils import dtype_calc
 
 import jax.numpy as jnp
+
+
+@contextmanager
+def _stage(name, multiline=False):
+    """Stage header + wall-clock print (reference's per-stage progress
+    analog, utils.py:107-142 — device stages are single jitted programs so a
+    polling counter has nothing to poll; the timer is the observable)."""
+    if multiline:
+        print(f"  {name}:")
+    else:
+        print(f"  {name}: ", end="", flush=True)
+    t0 = perf_counter()
+    yield
+    dt = perf_counter() - t0
+    if multiline:
+        print(f"  {name} done in {dt:.3f}s")
+    else:
+        print(f"done in {dt:.3f}s")
 
 
 # Configurable attributes and their allowed types (config.ini type-checking)
@@ -145,6 +165,12 @@ class Bader:
             for f_type, f_method in getmembers(io, ismodule):
                 if f_type == file_type:
                     io_ = f_method
+            if io_ is None or not hasattr(io_, 'read'):
+                known = [n for n, m in getmembers(io, ismodule)
+                         if hasattr(m, 'read')]
+                raise ValueError(
+                    f"unknown file_type {file_type!r}; available: {known}"
+                )
             file_conf = {k: v for k, v in kwargs.items() if k in io_.__args__}
             return cls(*io_.read(filename, **file_conf), **kwargs)
         for name, package in getmembers(io, ismodule):
@@ -420,44 +446,47 @@ class Bader:
         vols = np.asarray(self.bader_volumes)
         if (vols == -1).any():
             vacuum = vols == -1
-        if self.method == 'ongrid':
-            labels, maxima = pipeline.partition_ongrid(
-                self.reference, vacuum, weights
-            )
-        elif self.method == 'neargrid':
-            labels, maxima = pipeline.partition_neargrid(
-                self.reference, vacuum, weights, self.T_grad
-            )
-        else:
-            raise ValueError(f"Unknown method: {self.method}")
-        dtype = dtype_calc(-max(int(maxima.shape[0]), 1))
-        self.bader_volumes = np.asarray(labels).astype(dtype)
+        with _stage("Calculating Bader volumes"):
+            if self.method == 'ongrid':
+                labels, maxima = pipeline.partition_ongrid(
+                    self.reference, vacuum, weights
+                )
+            elif self.method == 'neargrid':
+                labels, maxima = pipeline.partition_neargrid(
+                    self.reference, vacuum, weights, self.T_grad
+                )
+            else:
+                raise ValueError(f"Unknown method: {self.method}")
+            dtype = dtype_calc(-max(int(maxima.shape[0]), 1))
+            self.bader_volumes = np.asarray(labels).astype(dtype)
         self.bader_maxima = maxima
 
     def bader_to_atom_distance(self):
         """Assign each Bader maximum to its nearest atom (27 pbc images)."""
         maxima_cart = self.bader_maxima
-        atom_idx, dist = atoms_ops.assign_to_atoms(
-            jnp.asarray(maxima_cart), jnp.asarray(self.atoms),
-            jnp.asarray(self.lattice),
-        )
-        self.bader_atoms = np.asarray(atom_idx)
-        self.bader_distance = np.asarray(dist)
-        swap = jnp.asarray(self.bader_atoms, dtype=jnp.int32)
-        atoms_vols = reductions.relabel(
-            jnp.asarray(self.bader_volumes, dtype=jnp.int32), swap
-        )
-        dtype = dtype_calc(-max(int(self.atoms.shape[0]), 1))
-        self.atoms_volumes = np.asarray(atoms_vols).astype(dtype)
+        with _stage("Assigning maxima to atoms"):
+            atom_idx, dist = atoms_ops.assign_to_atoms(
+                jnp.asarray(maxima_cart), jnp.asarray(self.atoms),
+                jnp.asarray(self.lattice),
+            )
+            self.bader_atoms = np.asarray(atom_idx)
+            self.bader_distance = np.asarray(dist)
+            swap = jnp.asarray(self.bader_atoms, dtype=jnp.int32)
+            atoms_vols = reductions.relabel(
+                jnp.asarray(self.bader_volumes, dtype=jnp.int32), swap
+            )
+            dtype = dtype_calc(-max(int(self.atoms.shape[0]), 1))
+            self.atoms_volumes = np.asarray(atoms_vols).astype(dtype)
 
     def refine_volumes(self, volumes):
         """Refine edges of the given label map in place."""
         labels = jnp.asarray(np.asarray(volumes), dtype=jnp.int32)
-        refined, _ = pipeline.refine_labels(
-            self.refine_method, self.refine_mode, self.reference, labels,
-            tuple(self.distance_weights), self.T_grad,
-        )
-        np.copyto(volumes, np.asarray(refined).astype(volumes.dtype))
+        with _stage("Refining volume edges", multiline=True):
+            refined, _ = pipeline.refine_labels(
+                self.refine_method, self.refine_mode, self.reference, labels,
+                tuple(self.distance_weights), self.T_grad,
+            )
+            np.copyto(volumes, np.asarray(refined).astype(volumes.dtype))
 
     def sum_volumes(self, bader=False):
         """Integrate charge/spin/volume per Bader volume or per atom."""
@@ -470,38 +499,40 @@ class Bader:
             labels = self.atoms_volumes
             prefix = 'atoms'
         labels_dev = jnp.asarray(np.asarray(labels), dtype=jnp.int32)
-        charge, volume = reductions.charge_volume_sum(
-            jnp.asarray(self.density), labels_dev, self.voxel_volume, n
-        )
-        setattr(self, f'{prefix}_charge', np.asarray(charge))
-        setattr(self, f'{prefix}_volume', np.asarray(volume))
-        if self.spin_bool:
-            spin, _ = reductions.charge_volume_sum(
-                jnp.asarray(self.spin), labels_dev, self.voxel_volume, n
+        with _stage(f"Integrating {prefix} charges"):
+            charge, volume = reductions.charge_volume_sum(
+                jnp.asarray(self.density), labels_dev, self.voxel_volume, n
             )
-            setattr(self, f'{prefix}_spin', np.asarray(spin))
+            setattr(self, f'{prefix}_charge', np.asarray(charge))
+            setattr(self, f'{prefix}_volume', np.asarray(volume))
+            if self.spin_bool:
+                spin, _ = reductions.charge_volume_sum(
+                    jnp.asarray(self.spin), labels_dev, self.voxel_volume, n
+                )
+                setattr(self, f'{prefix}_spin', np.asarray(spin))
 
     def min_surface_distance(self):
         """Minimum distance from each atom to its Bader-volume surface."""
         atoms = self.atoms - self.voxel_offset
         labels = jnp.asarray(np.asarray(self.atoms_volumes), dtype=jnp.int32)
-        known = edges_ops.edge_find(jnp.asarray(self.reference), labels)
-        edge_mask = (known == -2).reshape(-1)
-        n_edges = int(jnp.sum(edge_mask))
-        if n_edges == 0:
-            print("  No edges found.")
-            self.atoms_surface_distance = np.zeros(self.atoms.shape[0])
-            return
-        size = max(4096, 1 << (n_edges - 1).bit_length())
-        if size.bit_length() % 2 == 0:
-            size <<= 1  # powers of 4: fewer compile buckets
-        edge_idx = reductions.compact_indices(edge_mask, size)
-        dist = atoms_ops.surface_distance_from_edges(
-            edge_idx, labels.reshape(-1), jnp.asarray(self.lattice),
-            jnp.asarray(atoms), tuple(self.density.shape),
-            int(self.atoms.shape[0]),
-        )
-        self.atoms_surface_distance = np.asarray(dist)
+        with _stage("Calculating min. surface distance"):
+            known = edges_ops.edge_find(jnp.asarray(self.reference), labels)
+            edge_mask = (known == -2).reshape(-1)
+            n_edges = int(jnp.sum(edge_mask))
+            if n_edges == 0:
+                print("no edges found. ", end="")
+                self.atoms_surface_distance = np.zeros(self.atoms.shape[0])
+                return
+            size = max(4096, 1 << (n_edges - 1).bit_length())
+            if size.bit_length() % 2 == 0:
+                size <<= 1  # powers of 4: fewer compile buckets
+            edge_idx = reductions.compact_indices(edge_mask, size)
+            dist = atoms_ops.surface_distance_from_edges(
+                edge_idx, labels.reshape(-1), jnp.asarray(self.lattice),
+                jnp.asarray(atoms), tuple(self.density.shape),
+                int(self.atoms.shape[0]),
+            )
+            self.atoms_surface_distance = np.asarray(dist)
 
     # -------------------------------------------------------------- results
     def results(self, volume_flag=False):

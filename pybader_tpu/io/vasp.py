@@ -18,10 +18,10 @@ from pybader_tpu.utils import (fortran_format, parse_float_block,
                                python_format, tqdm_wrap)
 
 __extensions__ = ["chgcar", ".vasp"]
-__args__ = ["charge_flag", "spin_flag", "buffer_size"]
+__args__ = ["charge_flag", "spin_flag", "buffer_size", "threads"]
 
 
-def _read_block(f, grid_pts):
+def _read_block(f, grid_pts, threads=None):
     """Parse one density block of grid_pts values starting at f's position."""
     pos = f.tell()
     first = f.readline()
@@ -31,7 +31,7 @@ def _read_block(f, grid_pts):
     full_lines = grid_pts // vals_per_line
     rem = grid_pts % vals_per_line
     buf = f.read(full_lines * line_len)
-    vals = parse_float_block(buf, full_lines * vals_per_line)
+    vals = parse_float_block(buf, full_lines * vals_per_line, threads)
     if rem:
         tail = np.array(f.readline().split()[:rem], dtype=np.float64)
         vals = np.concatenate([vals, tail])
@@ -50,9 +50,11 @@ def _skip_block(f, grid_pts):
         f.readline()
 
 
-def read(fn, charge_flag=True, spin_flag=False, buffer_size=64):
+def read(fn, charge_flag=True, spin_flag=False, buffer_size=64,
+         threads=None):
     """Read charge and/or spin density from a CHGCAR-style file.
 
+    ``threads`` caps the native parser's host threads (CLI -j flag).
     returns (density dict, lattice 3x3, atoms cartesian, file_info).
     """
     t0 = time()
@@ -93,7 +95,7 @@ def read(fn, charge_flag=True, spin_flag=False, buffer_size=64):
         grid_pts = int(np.prod(grid))
         print(f"  {' x '.join(grid.astype(str))} grid size.")
         if charge_flag:
-            vals = _read_block(f, grid_pts)
+            vals = _read_block(f, grid_pts, threads)
             density["charge"] = np.ascontiguousarray(
                 np.swapaxes(vals.reshape(grid[::-1]), 0, -1)
             )
@@ -112,7 +114,7 @@ def read(fn, charge_flag=True, spin_flag=False, buffer_size=64):
                 print(f"  No spin density in {fn}")
                 spin_flag = False
             else:
-                vals = _read_block(f, grid_pts)
+                vals = _read_block(f, grid_pts, threads)
                 density["spin"] = np.ascontiguousarray(
                     np.swapaxes(vals.reshape(grid[::-1]), 0, -1)
                 )

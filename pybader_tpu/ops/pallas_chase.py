@@ -214,14 +214,6 @@ def chase_sweep(a, bk, flags, bx, by, halo, early_exit=True):
     return out, done
 
 
-@partial(jax.jit, static_argnames=("bx", "by", "halo"))
-def chase_sweep_labels(a, labels, bk, flags, bx, by, halo):
-    """Sweep chasing pointers and a rider label payload together."""
-    (out_a, out_l), done = _chase_sweep_multi(
-        (a, labels), bk, flags, bx, by, halo)
-    return out_a, out_l, done
-
-
 def _chase_sweep_multi(payloads, bk, flags, bx, by, halo, early_exit=True):
     """Shared driver: payloads is a tuple of int32 grids (pointers first).
 
@@ -327,49 +319,44 @@ def _run_chase(parent, best_k, bx, by, h, max_sweeps):
     gx, gy = nx // bx, ny // by
     a = parent
     flags = jnp.ones((gx * gy,), dtype=jnp.int32)
-    schedule = []
     for _ in range(max_sweeps):
-        schedule.append(flags)
         a, done = chase_sweep(a, best_k, flags, bx, by, h)
         flags, any_nd = _next_flags(done)
         if not bool(any_nd):
             break
-    return a, (bx, by, h, schedule)
+    return a
 
 
-def replay_payload(values, best_k, schedule):
-    """Replay a recorded chase schedule on another payload.
+def _try_configs(configs, shape, run):
+    """Run ``run(bx, by, h)`` under the first config that fits VMEM.
 
-    ``values`` must hold the final value at every self-parent voxel
-    (maxima/vacuum); other entries converge to their root's value.  Each
-    replayed sweep runs the full fixed pass count, which is >= the pass
-    count the recorded pointer chase used, so the payload is at least as
-    converged as the pointers were (post-fixed-point passes are no-ops).
+    Compile/VMEM failures (RuntimeError — Mosaic raises through
+    JaxRuntimeError) fall through to the next, smaller config with a logged
+    warning; anything else propagates.
     """
-    bx, by, h, flags_list = schedule
-    with jax.enable_x64(False):
-        for flags in flags_list:
-            values, _ = chase_sweep(values, best_k, flags, bx, by, h,
-                                    early_exit=False)
-    return values
+    import warnings
 
-
-def _run_chase_labels(parent, labels0, best_k, bx, by, h, max_sweeps):
-    nx, ny, nz = parent.shape
-    gx, gy = nx // bx, ny // by
-    a, l = parent, labels0
-    flags = jnp.ones((gx * gy,), dtype=jnp.int32)
-    for _ in range(max_sweeps):
-        a, l, done = chase_sweep_labels(a, l, best_k, flags, bx, by, h)
-        flags, any_nd = _next_flags(done)
-        if not bool(any_nd):
-            break
-    return a, l
+    nx, ny, _ = shape
+    last_err = None
+    for bt_x, bt_y, h0 in configs:
+        bx = _pick_block(nx, bt_x)
+        by = _pick_block(ny, bt_y)
+        h = min(h0, bx, by)
+        if bx % 8 or by % 8 or h % 8:
+            continue
+        try:
+            return run(bx, by, h)
+        except RuntimeError as e:  # VMEM overflow at compile: try smaller
+            warnings.warn(
+                f"chase config ({bx},{by},{h}) failed to compile "
+                f"({e}); retrying smaller", RuntimeWarning,
+            )
+            last_err = e
+    raise last_err
 
 
 def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
-                         block_target: int = 16, halo: int = 8,
-                         return_schedule: bool = False):
+                         block_target: int = 16, halo: int = 8):
     """Resolve ascent pointers to roots using the Pallas chase kernel.
 
     Host-driven sweep loop (a lax.while_loop driver measured ~4x slower on
@@ -387,8 +374,6 @@ def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
     # trace under 32-bit mode: the kernel is all-explicit 32-bit, and x64
     # tracing leaks i64 scalars Mosaic cannot legalize
     with jax.enable_x64(False):
-        bk8 = best_k
-        last_err = None
         # halo and blocks must stay multiples of 8 (DMA tile alignment);
         # measured on v5e: fine blocks win at <=384^3 (skip-flag granularity)
         # while bigger blocks win at 512^3 (halo redundancy dominates)
@@ -398,50 +383,11 @@ def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
         else:
             configs = ((block_target, block_target, halo),
                        (16, 8, 8), (8, 8, 8))
-        for bt_x, bt_y, h0 in configs:
-            bx = _pick_block(nx, bt_x)
-            by = _pick_block(ny, bt_y)
-            h = min(h0, bx, by)
-            if bx % 8 or by % 8 or h % 8:
-                continue
-            try:
-                roots, schedule = _run_chase(
-                    parent, bk8, bx, by, h, max_sweeps)
-                if return_schedule:
-                    return roots, schedule
-                return roots
-            except Exception as e:  # VMEM overflow at compile: try smaller
-                last_err = e
-        raise last_err
-
-
-def resolve_labels_pallas(parent, best_k, seed_labels,
-                          max_sweeps: int = 4096,
-                          block_target: int = 16, halo: int = 8):
-    """Chase pointers and a rider payload (dense labels) together.
-
-    ``seed_labels`` must hold the final value at every self-parent voxel
-    (maxima/vacuum); all other entries may be arbitrary — they converge to
-    their root's seed.  returns (roots, labels).
-    """
-    nx, ny, nz = parent.shape
-    with jax.enable_x64(False):
-        bk8 = best_k
-        last_err = None
-        # twin payload doubles the VMEM footprint: smaller defaults
-        for bt_x, bt_y, h0 in ((block_target, block_target, halo),
-                               (16, 8, 8), (8, 8, 8)):
-            bx = _pick_block(nx, bt_x)
-            by = _pick_block(ny, bt_y)
-            h = min(h0, bx, by)
-            if bx % 8 or by % 8 or h % 8:
-                continue
-            try:
-                return _run_chase_labels(
-                    parent, seed_labels, bk8, bx, by, h, max_sweeps)
-            except Exception as e:  # VMEM overflow at compile: try smaller
-                last_err = e
-        raise last_err
+        return _try_configs(
+            configs, parent.shape,
+            lambda bx, by, h: _run_chase(parent, best_k, bx, by, h,
+                                         max_sweeps),
+        )
 
 
 TAG = jnp.int32(1 << 28)  # flat indices < 2^27 (512^3), labels < 2^27
@@ -493,25 +439,15 @@ def labels_oneshot(best_k, vacuum=None, **kw):
         n_maxima = int(n_max_dev)
         sentinel = jnp.int32(n_maxima)
         nx_, ny_, nz_ = shape
-        last_err = None
         if nx_ * ny_ * nz_ >= 512 ** 3:
             configs = ((64, 32, 8), (32, 32, 8), (16, 16, 8),
                        (16, 8, 8), (8, 8, 8))
         else:
             configs = ((16, 16, 8), (16, 8, 8), (8, 8, 8))
-        for bt_x, bt_y, h0 in configs:
-            bx = _pick_block(nx_, bt_x)
-            by = _pick_block(ny_, bt_y)
-            h = min(h0, bx, by)
-            if bx % 8 or by % 8 or h % 8:
-                continue
-            try:
-                out, _ = _run_chase(seed, best_k, bx, by, h, 4096)
-                break
-            except Exception as e:
-                last_err = e
-        else:
-            raise last_err
+        out = _try_configs(
+            configs, shape,
+            lambda bx, by, h: _run_chase(seed, best_k, bx, by, h, 4096),
+        )
         labels = out & (TAG - 1)
         labels = jnp.where(labels == sentinel, jnp.int32(-1), labels)
     return labels, n_maxima

@@ -224,19 +224,13 @@ def ongrid_step_codes_dd(reference, weights, block_target: int = 32,
     hi = reference.astype(jnp.float32)
     lo = (reference - hi.astype(jnp.float64)).astype(jnp.float32)
     with jax.enable_x64(False):
-        last_err = None
-        for bt_x, bt_y, h0 in ((block_target, block_target, halo),
-                               (16, 16, 8), (16, 8, 8), (8, 8, 8)):
-            bx = _pick_block(nx, bt_x)
-            by = _pick_block(ny, bt_y)
-            h = min(h0, bx, by)
-            if bx % 8 or by % 8 or h % 8:
-                continue
-            try:
-                bk = _stencil_call(hi, lo, tuple(weights), bx, by, h)
-                break
-            except Exception as e:
-                last_err = e
-        else:
-            raise last_err
+        from pybader_tpu.ops.pallas_chase import _try_configs
+
+        bk = _try_configs(
+            ((block_target, block_target, halo),
+             (16, 16, 8), (16, 8, 8), (8, 8, 8)),
+            reference.shape,
+            lambda bx, by, h: _stencil_call(hi, lo, tuple(weights),
+                                            bx, by, h),
+        )
     return bk.astype(jnp.uint8)

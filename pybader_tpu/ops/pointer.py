@@ -99,8 +99,14 @@ def resolve_roots_auto(parent, best_k=None):
             if best_k is None:
                 best_k = pallas_chase.step_code_from_parent(parent)
             return pallas_chase.resolve_roots_pallas(parent, best_k)
-        except Exception:  # pragma: no cover - kernel unsupported: fall back
-            pass
+        except RuntimeError as e:  # pragma: no cover - compile/VMEM failure
+            import warnings
+
+            warnings.warn(
+                "Pallas chase kernel failed to compile/run "
+                f"({type(e).__name__}: {e}); falling back to XLA pointer "
+                "doubling (slow on TPU)", RuntimeWarning,
+            )
     return resolve_roots(parent)
 
 

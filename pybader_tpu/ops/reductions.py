@@ -160,9 +160,3 @@ def relabel(labels: jax.Array, swap: jax.Array) -> jax.Array:
     )
     return jnp.where(labels < 0, labels, remapped)
 
-
-@jax.jit
-def masked_density(labels: jax.Array, density: jax.Array,
-                   vol_num: jax.Array) -> jax.Array:
-    """density where labels == vol_num else 0 (ref volume_mask)."""
-    return jnp.where(labels == vol_num, density, 0.0)

@@ -114,15 +114,17 @@ def nostdout():
         sys.stdout = saved
 
 
-def parse_float_block(text: str, count: int) -> np.ndarray:
+def parse_float_block(text: str, count: int,
+                      threads: int | None = None) -> np.ndarray:
     """Parse whitespace-separated floats from text (first ``count`` values).
 
     Uses the native C++ fast parser when built (see native/), falling back
-    to numpy.  This is the hot path of CHGCAR reading.
+    to numpy.  This is the hot path of CHGCAR reading.  ``threads`` caps the
+    parser's host threads (the CLI -j flag; None = one per CPU, up to 16).
     """
     try:
         from pybader_tpu.io._fastparse import parse_floats  # noqa
-        return parse_floats(text, count)
+        return parse_floats(text, count, n_threads=threads)
     except Exception:
         vals = np.array(text.split()[:count], dtype=np.float64)
         return vals
