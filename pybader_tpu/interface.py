@@ -141,8 +141,14 @@ class Bader:
         atoms: cartesian atom positions (N, 3)
         file_info: provenance dict (filename, prefix, file_type,
                    voxel_offset, write_function, ...)
-        **kwargs: any configurable attribute (see config_attributes)
+        **kwargs: any configurable attribute (see config_attributes), plus
+                  ``mesh`` — an optional jax.sharding.Mesh; when set, the
+                  partition and refinement stages shard the grid over it
+                  (multi-chip path, parallel/).  Not a config.ini key (a
+                  Mesh holds live device handles) and not pickled.
     """
+
+    mesh = None  # class default; set per instance for multi-device runs
 
     def __init__(self, density_dict, lattice, atoms, file_info, **kwargs):
         self._density = density_dict
@@ -449,11 +455,12 @@ class Bader:
         with _stage("Calculating Bader volumes"):
             if self.method == 'ongrid':
                 labels, maxima = pipeline.partition_ongrid(
-                    self.reference, vacuum, weights
+                    self.reference, vacuum, weights, mesh=self.mesh
                 )
             elif self.method == 'neargrid':
                 labels, maxima = pipeline.partition_neargrid(
-                    self.reference, vacuum, weights, self.T_grad
+                    self.reference, vacuum, weights, self.T_grad,
+                    mesh=self.mesh
                 )
             else:
                 raise ValueError(f"Unknown method: {self.method}")
@@ -484,7 +491,7 @@ class Bader:
         with _stage("Refining volume edges", multiline=True):
             refined, _ = pipeline.refine_labels(
                 self.refine_method, self.refine_mode, self.reference, labels,
-                tuple(self.distance_weights), self.T_grad,
+                tuple(self.distance_weights), self.T_grad, mesh=self.mesh,
             )
             np.copyto(volumes, np.asarray(refined).astype(volumes.dtype))
 
@@ -576,6 +583,12 @@ class Bader:
 
     def load_config(self, key='DEFAULT'):
         self.apply_config(python_config(key=key))
+
+    def __getstate__(self):
+        # a Mesh holds live device handles — never pickle it
+        state = dict(self.__dict__)
+        state.pop('mesh', None)
+        return state
 
     # --------------------------------------------------------------- output
     def to_file(self):

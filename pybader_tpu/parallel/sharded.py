@@ -2,11 +2,12 @@
 
 The density grid is sharded over a 2-D mesh ('x', 'y' — the first two grid
 axes); z stays replicated-contiguous so the innermost dimension keeps good
-layout.  Under jit+SPMD, XLA lowers:
- - the 26-neighbour rolls of the ascent stencil to halo exchanges
-   (collective-permute) over ICI,
- - the pointer-doubling gathers to all-gather + local gather rounds,
- - the segment reductions to local segment-sums + psum.
+layout.  Under jit+SPMD, XLA lowers the 26-neighbour rolls of the ascent
+stencil to halo exchanges (collective-permute) over ICI and the segment
+reductions to local sums + psum.  Pointer chains are resolved by the
+shard_map halo-round chase (:mod:`pybader_tpu.parallel.chase`) — block-local
+convergence per device with 1-ring halo exchanges, replacing the global
+all-gather pointer doubling that dominated the naive SPMD lowering.
 
 This module is exercised on a virtual CPU mesh in tests and by the driver's
 ``dryrun_multichip``; on real hardware the same code spans a TPU slice.
@@ -22,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pybader_tpu.ops.stencil import ongrid_parent, self_index
 from pybader_tpu.ops.pointer import resolve_roots
+from pybader_tpu.parallel.chase import grid_spec_2d, sharded_chase
 
 
 def _factor2(n: int):
@@ -118,18 +120,94 @@ def sharded_step(mesh: Mesh, density, weights):
     return fn(density, tuple(weights))
 
 
-def sharded_partition(mesh: Mesh, reference, vacuum, weights):
-    """Full labelled partition on a mesh (host compaction like pipeline)."""
-    from pybader_tpu.ops.pointer import label_volumes
+TAG = jnp.int32(1 << 28)  # matches ops/pallas_chase.TAG
+
+
+def _seed_local(bk_loc, vac_loc, iota_loc, spec, mesh, has_vacuum):
+    """Per-device one-shot label seed (runs inside shard_map).
+
+    Maxima are seeded with TAG|rank (rank = device-linear order + local
+    C-order position — any consistent numbering, fixed up afterwards by the
+    discovery-order renumber), everything else with its own global flat
+    index, vacuum with the TAG|n_maxima sentinel.
+    """
+    is_self = bk_loc == jnp.uint8(13)
+    is_max = (is_self & ~vac_loc) if has_vacuum else is_self
+    flat_max = is_max.reshape(-1)
+    cnt = jnp.sum(flat_max.astype(jnp.int32))
+    # rank offsets and the global count use only the mesh axes the spec
+    # actually shards over: along unused axes every device holds a replica
+    # and must compute identical values
+    used = []
+    for entry in spec:
+        if entry is None:
+            continue
+        used += list(entry) if isinstance(entry, tuple) else [entry]
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if used:
+        counts = jax.lax.all_gather(cnt, tuple(used))
+        lin = jnp.int32(0)
+        for a in used:
+            lin = lin * np.int32(sizes[a]) + jax.lax.axis_index(a)
+        before = jnp.arange(counts.shape[0], dtype=jnp.int32) < lin
+        offset = jnp.sum(jnp.where(before, counts, 0)).astype(jnp.int32)
+        n_max = jax.lax.psum(cnt, tuple(used))
+    else:  # fully replicated grid
+        offset = jnp.int32(0)
+        n_max = cnt
+    ranks = (offset + jnp.cumsum(flat_max.astype(jnp.int32)) - 1
+             ).reshape(bk_loc.shape)
+    seed = jnp.where(is_max, TAG | ranks, iota_loc)
+    if has_vacuum:
+        seed = jnp.where(vac_loc, TAG | n_max, seed)
+    return seed, n_max
+
+
+def sharded_partition(mesh: Mesh, reference, vacuum, weights,
+                      exact_stencil: bool = True):
+    """Full labelled partition on a device mesh, discovery-order numbering.
+
+    Pipeline: GSPMD ascent stencil (rolls -> halo collectives) -> per-device
+    one-shot label seed (shard_map) -> halo-round chase -> discovery-order
+    renumber (masked sweeps, sharding-friendly).  Labels match the
+    single-device pipeline voxel-for-voxel (tests/test_sharded.py).
+    """
+    from pybader_tpu import pipeline
 
     reference = jnp.asarray(reference)
-    grid_sharding = NamedSharding(mesh, choose_grid_spec(mesh, reference.shape))
-    reference = jax.device_put(reference, grid_sharding)
+    shape = reference.shape
+    spec = grid_spec_2d(mesh, shape)
+    sharding = NamedSharding(mesh, spec)
+    reference = jax.device_put(reference, sharding)
     vac = None
     if vacuum is not None:
-        vac = jax.device_put(jnp.asarray(vacuum), grid_sharding)
-    parent = jax.jit(
-        ongrid_parent, static_argnames=("weights",),
-        out_shardings=grid_sharding,
-    )(reference, tuple(weights), vac)
-    return label_volumes(parent, vac)
+        vac = jax.device_put(jnp.asarray(vacuum), sharding)
+
+    bk = jax.jit(
+        pipeline._step_codes_auto, static_argnames=("weights",
+                                                     "exact_stencil"),
+        out_shardings=sharding,
+    )(reference, tuple(weights), exact_stencil)
+    if vac is not None:
+        bk = jnp.where(vac, jnp.uint8(13), bk)
+
+    n = int(np.prod(shape))
+    iota = jax.jit(
+        lambda: jnp.arange(n, dtype=jnp.int32).reshape(shape),
+        out_shardings=sharding,
+    )()
+    has_vac = vac is not None
+    seed_fn = jax.jit(jax.shard_map(
+        lambda b, v, i: _seed_local(b, v, i, spec, mesh, has_vac),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, P()),
+    ))
+    seed, n_max_dev = seed_fn(bk, vac if has_vac else bk != bk, iota)
+    n_max = max(int(n_max_dev), 1)
+
+    out = sharded_chase(mesh, seed, bk, spec)
+    labels_mo = out & (TAG - 1)
+    labels_mo = jnp.where(labels_mo == jnp.int32(n_max),
+                          jnp.int32(-1), labels_mo)
+    return pipeline.renumber_discovery(labels_mo, bk, vac, n_max, iota)

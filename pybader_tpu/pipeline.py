@@ -23,16 +23,25 @@ from pybader_tpu.ops.stencil import (
 )
 
 
+def _is_multidevice(a) -> bool:
+    sharding = getattr(a, "sharding", None)
+    return sharding is not None and len(getattr(
+        sharding, "device_set", ())) > 1
+
+
 def _step_codes_auto(reference, weights, exact_stencil=False):
     """Step codes via the fastest suitable stencil backend.
 
     The dd-Pallas stencil is used on TPU-supported shapes (validated
     mismatch-free against the exact-f64 stencil); partition and refinement
-    must use the same backend so their ascent decisions agree.
+    must use the same backend so their ascent decisions agree.  Arrays
+    sharded over multiple devices take the XLA stencil (rolls lower to halo
+    collectives under GSPMD; pallas_call does not auto-partition).
     """
     from pybader_tpu.ops import pallas_stencil
 
     if (not exact_stencil and jax.default_backend() != "cpu"
+            and not _is_multidevice(reference)
             and pallas_stencil.supports_shape(reference.shape)):
         return pallas_stencil.ongrid_step_codes_dd(
             reference, tuple(weights))
@@ -88,8 +97,25 @@ def _partition_ongrid_tpu(reference, vac, weights, exact_stencil=False):
         # degenerate basin counts: fall back to the compaction path
         parent = parent_from_step_codes(bk)
         return label_volumes(parent, vac, bk)
+    iota = jnp.arange(int(np.prod(shape)), dtype=jnp.int32).reshape(shape)
+    return renumber_discovery(labels_mo, bk, vac, n_max, iota)
+
+
+def renumber_discovery(labels_mo, bk, vac, n_max: int, iota):
+    """Renumber arbitrary consistent basin ids to discovery order.
+
+    Discovery order = ascending first (minimum flat-index) member per basin
+    — the order the reference's serial threads=1 scan discovers maxima
+    (methods.py:201-209).  All full-grid work is masked sweeps (sharding-
+    friendly: elementwise selects + tree reductions, no gathers/scatters).
+
+    ``iota`` is the global flat-index grid, passed in so callers can supply
+    an already-sharded one.  returns (labels, maxima (M,3) int64).
+    """
+    from pybader_tpu.ops import reductions
+
+    shape = labels_mo.shape
     nx, ny, nz = shape
-    iota = jnp.arange(nx * ny * nz, dtype=jnp.int32).reshape(shape)
     is_max = bk == jnp.uint8(13)
     if vac is not None:
         is_max = is_max & ~vac
@@ -109,7 +135,8 @@ def _partition_ongrid_tpu(reference, vac, weights, exact_stencil=False):
     return labels, maxima
 
 
-def partition_ongrid(reference, vacuum, weights, exact_stencil=False):
+def partition_ongrid(reference, vacuum, weights, exact_stencil=False,
+                     mesh=None):
     """Ongrid partition: stencil parents + pointer-chain resolution.
 
     args:
@@ -119,10 +146,17 @@ def partition_ongrid(reference, vacuum, weights, exact_stencil=False):
         exact_stencil: force the exact-f64 XLA stencil even on TPU (the
             dd-Pallas stencil carries ~48 mantissa bits vs f64's 53; no
             mismatch has been observed, but this is the guarantee knob).
+        mesh: optional jax.sharding.Mesh — shard the grid and run the
+            multi-device pipeline (parallel/sharded.py); labels are
+            voxel-identical to the single-device result.
     returns:
         (labels int32 device array [-1=vacuum, 0..M-1 basins],
          maxima (M,3) int64 voxel indices in discovery order)
     """
+    if mesh is not None and len(mesh.devices.reshape(-1)) > 1:
+        from pybader_tpu.parallel.sharded import sharded_partition
+
+        return sharded_partition(mesh, reference, vacuum, weights)
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
     if _use_tpu_fast_path(reference.shape):
@@ -140,28 +174,30 @@ _NEARGRID_HYBRID_THRESHOLD = 1 << 24
 
 def partition_neargrid(reference, vacuum, weights, t_grad,
                        batch: int = _WALK_BATCH,
-                       full_trajectories: bool | None = None):
+                       full_trajectories: bool | None = None,
+                       mesh=None):
     """Neargrid partition: every voxel walks its full trajectory.
 
     Order-independent formulation of reference methods.py:222-611 (see
     ops/neargrid.py docstring for the documented deviation).  On grids
-    above ~16M voxels (or with full_trajectories=False) the equivalent
-    hybrid is used: ongrid initialisation + neargrid edge refinement run to
-    its fixed point — the same construction as the reference's own 'speed'
-    profile, converging to the same refined state the full-trajectory
-    formulation approximates.
+    above ~16M voxels (or with full_trajectories=False, or on a multi-chip
+    mesh) the equivalent hybrid is used: ongrid initialisation + neargrid
+    edge refinement run to its fixed point — the same construction as the
+    reference's own 'speed' profile, converging to the same refined state
+    the full-trajectory formulation approximates.
     """
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
     shape = reference.shape
     n = int(np.prod(shape))
+    multi = mesh is not None and len(mesh.devices.reshape(-1)) > 1
     if full_trajectories is None:
-        full_trajectories = n <= _NEARGRID_HYBRID_THRESHOLD
+        full_trajectories = n <= _NEARGRID_HYBRID_THRESHOLD and not multi
     if not full_trajectories:
-        labels, maxima = partition_ongrid(reference, vac, weights)
+        labels, maxima = partition_ongrid(reference, vac, weights, mesh=mesh)
         labels, _ = refine_labels(
             "neargrid", ("changed", -1), reference, labels, weights,
-            t_grad, verbose=False,
+            t_grad, verbose=False, mesh=mesh,
         )
         # refinement reassigns edge voxels among the existing basin ids;
         # numbering and the maxima list stay those of the initialisation
@@ -201,7 +237,7 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
 
 
 def refine_labels(method: str, refine_mode, reference, labels, weights,
-                  t_grad, verbose: bool = True):
+                  t_grad, verbose: bool = True, mesh=None):
     """Iterative neargrid edge refinement to (or towards) a fixed point.
 
     Mirrors reference thread_handlers.refine (:128-236): iteration 1 walks
@@ -210,6 +246,12 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     stopping after ``iters`` iterations or when nothing changes (iters < 0
     means run to convergence).  Unknown methods are silently skipped, like
     the reference (thread_handlers.py:140-143).
+
+    With a ``mesh``, the full-grid stencil stages (edge_find/edge_check and
+    the ascent stencil) run sharded over the mesh (rolls -> halo
+    collectives), while the trajectory walker runs data-parallel over the
+    edge-voxel batch with its flat grid operands replicated, keeping its
+    per-step gathers device-local.
 
     returns (labels, total_changed).
     """
@@ -222,13 +264,34 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
 
     reference = jnp.asarray(reference)
     labels = jnp.asarray(labels)
+    rep = lambda a: a  # noqa: E731
+    if mesh is not None and len(mesh.devices.reshape(-1)) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pybader_tpu.parallel.chase import grid_spec_2d
+
+        sharding = NamedSharding(mesh, grid_spec_2d(mesh, reference.shape))
+        replicated = NamedSharding(mesh, P())
+        reference = jax.device_put(reference, sharding)
+        labels = jax.device_put(labels, sharding)
+        rep = lambda a: jax.device_put(a, replicated)  # noqa: E731
+        n_dev = len(mesh.devices.reshape(-1))
+        batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+        def shard_batch(a):
+            # edge-voxel batches are data-parallel when they divide the mesh
+            if a.shape[0] % n_dev == 0:
+                return jax.device_put(a, batch_sharding)
+            return rep(a)
+    else:
+        shard_batch = rep
     shape = reference.shape
     t_grad = jnp.asarray(t_grad)
     vac = labels == -1
     parent, bk = _parent_and_codes(reference, vac, weights)
-    parent_flat = parent.reshape(-1)
+    parent_flat = rep(parent.reshape(-1))
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
-    rho_flat = reference.reshape(-1)
+    rho_flat = rep(reference.reshape(-1))
 
     known = edges_ops.edge_find(reference, labels)
     total_changed = 0
@@ -253,8 +316,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             size <<= 1  # powers of 4: fewer walker compile buckets
         starts_dev_padded = compact_indices(edge_mask, size)
         starts = np.asarray(starts_dev_padded[:n_edges])
-        padded = starts_dev_padded
-        stop_flat = (known == 2).reshape(-1)
+        padded = shard_batch(starts_dev_padded)
+        stop_flat = rep((known == 2).reshape(-1))
         # cap trajectories: period>2 cycles escape the walker's revisit
         # detection and would otherwise spin to the global cap; stragglers
         # resolve through their ongrid root below
