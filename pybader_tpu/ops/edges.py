@@ -19,6 +19,9 @@ edge_find and 'all' mode.  We skip vacuum voxels as edge candidates in both.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -29,19 +32,32 @@ def _roll(a, off):
     return jnp.roll(a, shift=(-off[0], -off[1], -off[2]), axis=(0, 1, 2))
 
 
-def _edge_and_max(reference, labels):
-    """is_edge / is_max per voxel, vacuum neighbours ignored in both."""
+def _edge_and_max(reference, labels, is_max=None):
+    """is_edge / is_max per voxel, vacuum neighbours ignored in both.
+
+    ``is_max`` can be supplied precomputed: a voxel is a local max iff no
+    neighbour has strictly higher density, which is exactly the self step
+    of the ascent stencil (``bk == 13``, weights are positive so the
+    weighted candidate exceeds the centre iff the raw density does) —
+    passing it skips 26 rolls of the f64 density grid.  Vacuum neighbours
+    can never be the higher one (vacuum is the low set), so the stencil's
+    is_max agrees with the vacuum-ignoring definition.
+    """
     is_edge = jnp.zeros(labels.shape, dtype=bool)
-    not_max = jnp.zeros(labels.shape, dtype=bool)
+    not_max = None if is_max is not None else jnp.zeros(
+        labels.shape, dtype=bool)
     for k, off in enumerate(OFFSETS):
         if k == SELF_INDEX:
             continue
         lab_n = _roll(labels, off)
-        rho_n = _roll(reference, off)
         nonvac_n = lab_n != -1
         is_edge |= nonvac_n & (lab_n != labels)
-        not_max |= nonvac_n & (rho_n > reference)
-    return is_edge, ~not_max
+        if is_max is None:
+            rho_n = _roll(reference, off)
+            not_max |= nonvac_n & (rho_n > reference)
+    if is_max is None:
+        is_max = ~not_max
+    return is_edge, is_max
 
 
 def _dilate26(mask):
@@ -54,10 +70,11 @@ def _dilate26(mask):
 
 
 @jax.jit
-def edge_find(reference: jax.Array, labels: jax.Array) -> jax.Array:
+def edge_find(reference: jax.Array, labels: jax.Array,
+              is_max: jax.Array | None = None) -> jax.Array:
     """Full-grid edge scan -> known int8 grid (see module docstring)."""
     nonvac = labels != -1
-    is_edge, is_max = _edge_and_max(reference, labels)
+    is_edge, is_max = _edge_and_max(reference, labels, is_max)
     edge = nonvac & is_edge & ~is_max
     near = _dilate26(edge) & ~edge
     known = jnp.where(
@@ -68,9 +85,51 @@ def edge_find(reference: jax.Array, labels: jax.Array) -> jax.Array:
     return known
 
 
+@partial(jax.jit, static_argnames=("shape",))
+def neighbors27_flat(idx: jax.Array, shape) -> jax.Array:
+    """(K,) flat voxel indices -> (K*27,) flat indices of their periodic
+    27-neighbourhoods (self included).  Padding entries (idx < 0) produce
+    -1 across their whole row."""
+    nx, ny, nz = shape
+    valid = idx >= 0
+    p = jnp.clip(idx, 0)
+    x = p // (ny * nz)
+    y = (p // nz) % ny
+    z = p % nz
+    offs = jnp.asarray(np.asarray(OFFSETS, dtype=np.int32))  # (27, 3)
+    xn = jnp.remainder(x[:, None] + offs[None, :, 0], nx)
+    yn = jnp.remainder(y[:, None] + offs[None, :, 1], ny)
+    zn = jnp.remainder(z[:, None] + offs[None, :, 2], nz)
+    flat = (xn * ny + yn) * nz + zn
+    return jnp.where(valid[:, None], flat, -1).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=())
+def filter_edges_sorted(cand: jax.Array, known_flat: jax.Array):
+    """Unique candidate indices with known == -2, ascending, -1-padded.
+
+    ``cand`` is a small (K*27,) index list (next iteration's edge set is a
+    subset of the changed set's neighbourhoods), so the dedupe sort runs on
+    K*27 elements instead of a full-grid compaction sort.
+    returns (starts (K*27,) int32 ascending with -1 tail, count).
+    """
+    n = known_flat.shape[0]
+    big = jnp.int32(np.iinfo(np.int32).max)
+    k = jnp.take(known_flat, jnp.clip(cand, 0), mode="clip")
+    keep = (cand >= 0) & (k == jnp.int8(-2))
+    keys = jnp.where(keep, cand.astype(jnp.int32), big)
+    s = jnp.sort(keys)
+    uniq = s != jnp.concatenate([jnp.full((1,), -1, jnp.int32), s[:-1]])
+    keys2 = jnp.where(uniq & (s != big), s, big)
+    out = jnp.sort(keys2)
+    count = jnp.sum(out != big)
+    return jnp.where(out == big, jnp.int32(-1), out), count
+
+
 @jax.jit
 def edge_check(known: jax.Array, reference: jax.Array,
-               labels: jax.Array) -> jax.Array:
+               labels: jax.Array,
+               is_max: jax.Array | None = None) -> jax.Array:
     """Re-scan only the 27-neighbourhoods of changed edges (known == -2).
 
     Returns the updated known grid; the new edge set is ``known == -2``.
@@ -78,7 +137,7 @@ def edge_check(known: jax.Array, reference: jax.Array,
     nonvac = labels != -1
     changed = known == -2
     cand = (changed | _dilate26(changed)) & nonvac
-    is_edge, is_max = _edge_and_max(reference, labels)
+    is_edge, is_max = _edge_and_max(reference, labels, is_max)
     new_edge = cand & is_edge & ~is_max
     not_edge = cand & ~is_edge
     out = jnp.where(not_edge, jnp.int8(-1), known)

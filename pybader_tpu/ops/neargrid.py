@@ -80,14 +80,15 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
     pos0 = jnp.clip(starts, 0).astype(jnp.int32)
     done0 = starts < 0
     prev0 = jnp.full_like(pos0, -1)
+    hist0 = jnp.full(starts.shape + (3,), -1, dtype=jnp.int32)
     dr0 = jnp.zeros(starts.shape + (3,), dtype=rho_flat.dtype)
 
     def cond(state):
-        pos, prev, dr, done, step = state
+        pos, prev, hist, dr, done, step = state
         return (~jnp.all(done)) & (step < max_steps)
 
     def body(state):
-        pos, prev, dr, done, step = state
+        pos, prev, hist, dr, done, step = state
         # -- termination checks on the current position
         at_stop = jnp.take(stop_flat, pos, mode="clip")
         at_max = jnp.take(parent_flat, pos, mode="clip") == pos
@@ -124,19 +125,28 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
         ongrid_next = jnp.take(parent_flat, pos, mode="clip")
         # gradient ~ 0 => ongrid step (methods.py:340-343 + revisit branch)
         nxt = jnp.where(use_ongrid, ongrid_next, nxt)
-        # path revisit (period-1/2 cycle) => ongrid step, dr reset
+        # path revisit => ongrid step, dr reset.  The reference detects
+        # revisits against the FULL path (refinement.py:200); a bounded
+        # recent-history window (period <= 5 cycles) catches every cycle
+        # the neargrid step rule produces in practice, and the step cap +
+        # root fallback remains the backstop for anything longer.
         revisit = (nxt == pos) | (nxt == prev)
+        for h in range(hist.shape[-1]):
+            revisit = revisit | (nxt == hist[:, h])
         nxt = jnp.where(revisit, ongrid_next, nxt)
         reset = use_ongrid | revisit
         dr_after = jnp.where(reset[:, None], 0.0, dr_after)
 
         pos_new = jnp.where(done, pos, nxt)
         prev_new = jnp.where(done, prev, pos)
+        hist_new = jnp.where(
+            done[:, None], hist,
+            jnp.concatenate([prev[:, None], hist[:, :-1]], axis=1))
         dr_out = jnp.where(done[:, None], dr, dr_after)
-        return pos_new, prev_new, dr_out, done, step + 1
+        return pos_new, prev_new, hist_new, dr_out, done, step + 1
 
-    pos, prev, dr, done, _ = jax.lax.while_loop(
-        cond, body, (pos0, prev0, dr0, done0, jnp.int32(0))
+    pos, prev, hist, dr, done, _ = jax.lax.while_loop(
+        cond, body, (pos0, prev0, hist0, dr0, done0, jnp.int32(0))
     )
     # final termination flags for trajectories that stopped on the last step
     at_stop = jnp.take(stop_flat, pos, mode="clip")

@@ -62,7 +62,8 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
         done_ref = refs[2 * n_payloads + 1]
         p_loc = refs[2 * n_payloads + 2:3 * n_payloads + 2]
         bk_loc = refs[3 * n_payloads + 2]
-        sems = refs[3 * n_payloads + 3]
+        bk32_loc = refs[3 * n_payloads + 3]
+        sems = refs[3 * n_payloads + 4]
         i = pl.program_id(0)
         j = pl.program_id(1)
         gy = pl.num_programs(1)
@@ -121,13 +122,19 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
             for cp in copies:
                 cp.wait()
 
+            # widen the step codes once per block (v5e vector compares are
+            # 32-bit only; widening inside the pass loop costs 27 converts
+            # per pass)
+            bk32_loc[:] = bk_loc[:].astype(jnp.int32)
 
             # One pass: out[i] = a[i + off(bk[i])] for every payload.
             # Nested fori loops serialise the rolls (a flat unrolled version
             # keeps all 26 rolled copies alive and OOMs VMEM) and reuse
             # partial x/y rolls.  Offset code k = (ox+1)*9 + (oy+1)*3 +
             # (oz+1); k == 13 is the self step and harmlessly selects the
-            # input itself.
+            # input itself.  All shapes stay (8,128)-tile-aligned and all
+            # neighbour access is pltpu.roll — misaligned static slices
+            # blow up Mosaic compilation.
             def one_pass(vals):
                 def over_dx(kx, outs):
                     sx = jax.lax.rem(jnp.int32(rx) + jnp.int32(1) - kx,
@@ -139,11 +146,8 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
                                          jnp.int32(ry))
                         vxy = tuple(pltpu.roll(v, sy, 1) for v in vx)
                         base = kx * jnp.int32(9) + ky * jnp.int32(3)
-                        # v5e vector compare is 32-bit only; widening at the
-                        # compare keeps no persistent int32 copy of the codes
                         for kz, dz in enumerate((-1, 0, 1)):
-                            m = (bk_loc[:].astype(jnp.int32)
-                                 == base + jnp.int32(kz))
+                            m = bk32_loc[:] == base + jnp.int32(kz)
                             new_outs = []
                             for v, o in zip(vxy, outs2):
                                 if dz:
@@ -161,18 +165,37 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
                 return jax.lax.fori_loop(
                     jnp.int32(0), jnp.int32(3), over_dx, vals)
 
-            if early_exit:
-                def cond(state):
-                    t, changed = state
-                    return jnp.logical_and(t < jnp.int32(halo),
-                                           changed > jnp.int32(0))
+            # Ring restore: the x/y rolls wrap around the buffer, writing
+            # garbage into the outermost layer each pass; restoring that
+            # ring from the loaded snapshot keeps every value a valid
+            # ``parent^t`` composition, so the pass count is NOT capped at
+            # the halo depth — in-block chains converge fully within one
+            # sweep (fresh cross-block information still enters halo-deep
+            # per sweep).  z needs no ring: the full column wraps
+            # physically.
+            ix = jax.lax.broadcasted_iota(jnp.int32, (rx, ry, nz), 0)
+            iy = jax.lax.broadcasted_iota(jnp.int32, (rx, ry, nz), 1)
+            ring = ((ix == 0) | (ix == jnp.int32(rx - 1))
+                    | (iy == 0) | (iy == jnp.int32(ry - 1)))
+            vals0 = tuple(ref[:] for ref in p_loc)
+            max_passes = 4 * halo if early_exit else halo
 
-                def body(state):
-                    t, _ = state
-                    vals = tuple(ref[:] for ref in p_loc)
-                    new = one_pass(vals)
-                    for ref, v in zip(p_loc, new):
-                        ref[:] = v
+            # state: (t, last pass changed?, ANY pass changed?, values).
+            # ``done`` must mean "this sweep changed nothing" (output ==
+            # input): a block that changed and then locally converged must
+            # still report not-done, or its neighbours would never see its
+            # new halo values and could terminate on stale compositions.
+            def cond(state):
+                t, changed, _, _ = state
+                return jnp.logical_and(t < jnp.int32(max_passes),
+                                       changed > jnp.int32(0))
+
+            def body(state):
+                t, _, any_changed, vals = state
+                new = one_pass(vals)
+                new = tuple(jnp.where(ring, v0, nv)
+                            for v0, nv in zip(vals0, new))
+                if early_exit:
                     # convergence is exact on the pointer payload only
                     diff = (
                         new[0][halo:halo + bx, halo:halo + by, :]
@@ -180,27 +203,22 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
                     )
                     changed = jnp.max(
                         jnp.where(diff, jnp.int32(1), jnp.int32(0)))
-                    return t + jnp.int32(1), changed
+                else:
+                    # replay mode: fixed pass count (label payloads can
+                    # stall mid-chain and would falsely early-exit)
+                    changed = jnp.int32(1)
+                return (t + jnp.int32(1), changed,
+                        jnp.maximum(any_changed, changed), new)
 
-                _, changed = jax.lax.while_loop(
-                    cond, body, (jnp.int32(0), jnp.int32(1))
-                )
-            else:
-                # replay mode: fixed pass count, no convergence test (label
-                # payloads can stall mid-chain and would falsely early-exit)
-                def body(t, carry):
-                    vals = tuple(ref[:] for ref in p_loc)
-                    new = one_pass(vals)
-                    for ref, v in zip(p_loc, new):
-                        ref[:] = v
-                    return carry
-
-                jax.lax.fori_loop(jnp.int32(0), jnp.int32(halo), body,
-                                  jnp.int32(0))
-                changed = jnp.int32(0)
+            _, _, any_changed, vals = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0),
+                             vals0)
+            )
+            if not early_exit:
+                any_changed = jnp.int32(0)
             for m in range(n_payloads):
-                out_refs[m][:] = p_loc[m][halo:halo + bx, halo:halo + by, :]
-            done_ref[:] = jnp.full((8, 128), jnp.int32(1) - changed,
+                out_refs[m][:] = vals[m][halo:halo + bx, halo:halo + by, :]
+            done_ref[:] = jnp.full((8, 128), jnp.int32(1) - any_changed,
                                    dtype=jnp.int32)
 
     return kernel, rx, ry
@@ -244,6 +262,7 @@ def _chase_sweep_multi(payloads, bk, flags, bx, by, halo, early_exit=True):
         ),
         scratch_shapes=[pltpu.VMEM((rx, ry, nz), jnp.int32)] * m + [
             pltpu.VMEM((rx, ry, nz), jnp.uint8),
+            pltpu.VMEM((rx, ry, nz), jnp.int32),
             pltpu.SemaphoreType.DMA((9 * (m + 1),)),
         ],
     )
@@ -306,23 +325,40 @@ def supports_shape(shape) -> bool:
 
 
 @partial(jax.jit, static_argnames=())
-def _next_flags(done):
-    """done block map -> next sweep's active flags (3x3 block dilation)."""
+def _next_flags(done, can_change):
+    """done block map -> next sweep's active flags.
+
+    A block is re-activated when it or a 3x3 neighbour is not done, but
+    blocks with no non-self step code anywhere (``can_change`` False) are
+    never activated: every pass maps their values to themselves, so they are
+    converged from birth and their halo contribution is constant.
+    """
     done_b = done[::8, ::128] > 0
     nd = ~done_b
-    flags = _dilate_blocks(nd) | nd
-    return flags.reshape(-1).astype(jnp.int32), jnp.any(nd)
+    flags = (_dilate_blocks(nd) | nd) & can_change
+    return flags.reshape(-1).astype(jnp.int32), jnp.any(flags)
+
+
+@partial(jax.jit, static_argnames=("bx", "by"))
+def _block_can_change(best_k, bx, by):
+    """(gx, gy) bool: block contains any non-self step code."""
+    nx, ny, nz = best_k.shape
+    nonself = (best_k != jnp.uint8(13)).reshape(
+        nx // bx, bx, ny // by, by, nz)
+    return jnp.any(nonself, axis=(1, 3, 4))
 
 
 def _run_chase(parent, best_k, bx, by, h, max_sweeps):
     nx, ny, nz = parent.shape
-    gx, gy = nx // bx, ny // by
     a = parent
-    flags = jnp.ones((gx * gy,), dtype=jnp.int32)
+    can_change = _block_can_change(best_k, bx, by)
+    flags = can_change.reshape(-1).astype(jnp.int32)
+    if not bool(jnp.any(flags)):
+        return a
     for _ in range(max_sweeps):
         a, done = chase_sweep(a, best_k, flags, bx, by, h)
-        flags, any_nd = _next_flags(done)
-        if not bool(any_nd):
+        flags, any_active = _next_flags(done, can_change)
+        if not bool(any_active):
             break
     return a
 

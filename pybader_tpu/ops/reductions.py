@@ -31,6 +31,48 @@ def vacuum_mask(reference: jax.Array, vac_tol: jax.Array,
     return mask, charge, volume
 
 
+def _tile_cols(n: int, target: int = 4096) -> int:
+    """Largest power-of-two divisor of n, capped at target (>= 1)."""
+    c = 1
+    while c < target and n % (c * 2) == 0:
+        c *= 2
+    return c
+
+
+@partial(jax.jit, static_argnames=("num_segments", "cols"))
+def _charge_volume_twolevel(hi, lo, flat_lab, num_segments, cols):
+    """Two-level per-label sums in split-f32: native-speed on TPU.
+
+    Level 1: per-row f32 partial sums of the hi/lo density halves and the
+    member count (rows of ``cols`` elements — f32 tree error ~2^-24*sqrt(
+    cols) relative, uncorrelated across rows).  Level 2: f64 sums of the
+    (n/cols,) partials.  Net relative error ~1e-8: far below the 1e-6 e
+    parity budget, at VPU-f32 speed instead of emulated-f64 (measured 151ms
+    -> ~10ms at 384^3, 60 labels).
+    """
+    hi2 = hi.reshape(-1, cols)
+    lo2 = lo.reshape(-1, cols)
+    lab2 = flat_lab.reshape(-1, cols)
+    group = 8
+    n_groups = -(-num_segments // group)
+
+    def one(k0):
+        cs, vs = [], []
+        for j in range(group):
+            m = lab2 == k0 + j
+            ph = jnp.sum(jnp.where(m, hi2, jnp.float32(0)), axis=1)
+            pl_ = jnp.sum(jnp.where(m, lo2, jnp.float32(0)), axis=1)
+            pc = jnp.sum(m.astype(jnp.float32), axis=1)
+            cs.append(jnp.sum(ph.astype(jnp.float64))
+                      + jnp.sum(pl_.astype(jnp.float64)))
+            vs.append(jnp.sum(pc.astype(jnp.float64)))
+        return jnp.stack(cs), jnp.stack(vs)
+
+    starts = jnp.arange(n_groups, dtype=flat_lab.dtype) * group
+    charge, volume = jax.lax.map(one, starts)
+    return charge.reshape(-1), volume.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("num_segments",))
 def charge_volume_sum(density: jax.Array, labels: jax.Array,
                       voxel_vol: jax.Array, num_segments: int):
@@ -40,14 +82,25 @@ def charge_volume_sum(density: jax.Array, labels: jax.Array,
     voxel_volume * sum(density where labels==l); volume[l] = voxel_volume *
     count(labels==l).
 
-    For small label counts a sequential masked-sum sweep is used instead of
+    For small label counts a masked-sum sweep is used instead of
     segment_sum: f64 scatter-add is ~12x slower than f64 tree reductions
     under TPU x64 emulation (measured 5.3s vs 0.4s at 384^3), while K full
-    masked passes are bandwidth-bound.
+    masked passes are bandwidth-bound.  On TPU the sweep runs in split-f32
+    (see :func:`_charge_volume_twolevel`); elsewhere (CPU tests, exact
+    parity) in f64.
     """
     flat_lab = labels.reshape(-1)
     flat_rho = density.reshape(-1)
     if num_segments <= 1024 and flat_lab.size >= (1 << 22):
+        if jax.default_backend() != "cpu":
+            hi = flat_rho.astype(jnp.float32)
+            lo = (flat_rho - hi.astype(flat_rho.dtype)).astype(jnp.float32)
+            cols = _tile_cols(flat_lab.size)
+            charge, volume = _charge_volume_twolevel(
+                hi, lo, flat_lab, num_segments, cols)
+            charge = charge[:num_segments]
+            volume = volume[:num_segments]
+            return charge * voxel_vol, volume * voxel_vol
         group = 8  # 8 masks per grid pass (multi-output reduction fusion;
         # a broadcasted (group, n) formulation materialises ~n*group f64)
         n_groups = -(-num_segments // group)
@@ -76,36 +129,39 @@ def charge_volume_sum(density: jax.Array, labels: jax.Array,
     return charge, volume
 
 
-@partial(jax.jit, static_argnames=("num_segments", "with_mask"))
-def masked_min_sweep(values: jax.Array, labels: jax.Array,
-                     num_segments: int, mask: jax.Array | None = None,
-                     with_mask: bool = False):
-    """Per-label minimum of ``values`` without scatter (masked sweeps).
+@partial(jax.jit, static_argnames=("num_segments", "cols"))
+def masked_min_pair(values: jax.Array, labels: jax.Array,
+                    mask: jax.Array, num_segments: int, cols: int = 0):
+    """Per-label (min of values, min of values where mask) in one sweep.
 
-    Same rationale as the masked path in :func:`charge_volume_sum`:
-    per-element scatter is ~45M ops/s on TPU while full-grid masked tree
-    reductions are bandwidth-bound.  ``mask`` optionally restricts which
-    elements participate (e.g. only maxima).  Elements never selected give
-    int32 max.
+    The renumber stage needs both the first basin member (plain min of the
+    flat-index grid per label) and the maximum position (min over the
+    masked maxima); computing them together shares the label-equality
+    compares and the grid reads.  Two-level reduction (rows of ``cols``)
+    keeps the row minima vectorised.
     """
     big = jnp.iinfo(jnp.int32).max
-    flat_lab = labels.reshape(-1)
-    flat_val = values.reshape(-1)
-    if with_mask:
-        flat_val = jnp.where(mask.reshape(-1), flat_val, big)
+    if cols == 0:
+        cols = _tile_cols(labels.size)
+    lab2 = labels.reshape(-1, cols)
+    val2 = values.reshape(-1, cols)
+    vmask2 = jnp.where(mask.reshape(-1, cols), val2, big)
     group = 8
     n_groups = -(-num_segments // group)
 
     def one(k0):
-        outs = []
+        mins, mmins = [], []
         for j in range(group):
-            m = flat_lab == k0 + j
-            outs.append(jnp.min(jnp.where(m, flat_val, big)))
-        return jnp.stack(outs)
+            m = lab2 == k0 + j
+            mins.append(jnp.min(jnp.min(
+                jnp.where(m, val2, big), axis=1)))
+            mmins.append(jnp.min(jnp.min(
+                jnp.where(m, vmask2, big), axis=1)))
+        return jnp.stack(mins), jnp.stack(mmins)
 
-    starts = jnp.arange(n_groups, dtype=flat_lab.dtype) * group
-    mins = jax.lax.map(one, starts)
-    return mins.reshape(-1)[:num_segments]
+    starts = jnp.arange(n_groups, dtype=labels.dtype) * group
+    mins, mmins = jax.lax.map(one, starts)
+    return mins.reshape(-1)[:num_segments], mmins.reshape(-1)[:num_segments]
 
 
 @partial(jax.jit, static_argnames=("num_segments",))

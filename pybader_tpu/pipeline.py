@@ -119,9 +119,8 @@ def renumber_discovery(labels_mo, bk, vac, n_max: int, iota):
     is_max = bk == jnp.uint8(13)
     if vac is not None:
         is_max = is_max & ~vac
-    first_member = reductions.masked_min_sweep(iota, labels_mo, n_max)
-    max_pos = reductions.masked_min_sweep(
-        iota, labels_mo, n_max, is_max, with_mask=True
+    first_member, max_pos = reductions.masked_min_pair(
+        iota, labels_mo, is_max, n_max
     )
     first_h = np.asarray(first_member)
     order = np.argsort(first_h, kind="stable").astype(np.int32)
@@ -288,34 +287,45 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     shape = reference.shape
     t_grad = jnp.asarray(t_grad)
     vac = labels == -1
+    multi = mesh is not None and len(mesh.devices.reshape(-1)) > 1
     parent, bk = _parent_and_codes(reference, vac, weights)
     parent_flat = rep(parent.reshape(-1))
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
     rho_flat = rep(reference.reshape(-1))
+    # local maximum <=> self ascent step: lets the edge stencils skip 26
+    # rolls of the f64 density grid (ops/edges._edge_and_max)
+    is_max = (bk == jnp.uint8(13)) & ~vac
 
-    known = edges_ops.edge_find(reference, labels)
+    known = edges_ops.edge_find(reference, labels, is_max)
     total_changed = 0
     it = 0
+    starts_small = None  # small candidate list from the 'changed' fast path
     while it < max_iters:
         it += 1
-        edge_mask = (known == -2).reshape(-1)
-        n_edges = int(jnp.sum(edge_mask))
+        if starts_small is None:
+            edge_mask = (known == -2).reshape(-1)
+            n_edges = int(jnp.sum(edge_mask))
+        else:
+            n_edges = int(starts_small[1])
         if n_edges == 0:
             if verbose and it == 1:
                 print("  No edges found.")
             break
         if verbose:
             print(f"  Iteration {it}: refining {n_edges} edges")
-        # device-side compaction (sort-based: jnp.nonzero(size=) costs
-        # seconds under x64) — avoids shipping the full known grid to the
-        # host every iteration
         from pybader_tpu.ops.reductions import compact_indices
 
         size = max(4096, 1 << (n_edges - 1).bit_length())
         if size.bit_length() % 2 == 0:
             size <<= 1  # powers of 4: fewer walker compile buckets
-        starts_dev_padded = compact_indices(edge_mask, size)
-        starts = np.asarray(starts_dev_padded[:n_edges])
+        if starts_small is not None:
+            starts_dev_padded = _fit_starts(starts_small[0], size)
+        else:
+            # device-side compaction (sort-based: jnp.nonzero(size=) costs
+            # seconds under x64) — avoids shipping the full known grid to
+            # the host every iteration
+            starts_dev_padded = compact_indices(edge_mask, size)
+        starts_small = None
         padded = shard_batch(starts_dev_padded)
         stop_flat = rep((known == 2).reshape(-1))
         # cap trajectories: period>2 cycles escape the walker's revisit
@@ -325,14 +335,24 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             padded, rho_flat, parent_flat, stop_flat, t_grad, shape,
             strict_grad=True, max_steps=192,
         )
-        if not bool(jnp.all(done)):
+        n_capped = int(jnp.sum(~done[:n_edges])) if not bool(
+            jnp.all(done)) else 0
+        if n_capped:
+            # step-cap stragglers resolve through their ongrid root — an
+            # APPROXIMATION, acceptable only because legitimate walks
+            # terminate far below the cap and period<=5 cycles are broken
+            # reference-style inside the walker (tests/test_step_cap.py);
+            # the count is surfaced so production runs can see it fire
+            if verbose:
+                print(f"  {n_capped} trajectories hit the step cap "
+                      f"(resolved through ongrid roots)")
             if roots_flat is None:
                 roots_flat = resolve_roots_auto(parent, bk).reshape(-1)
             pos = jnp.where(done, pos,
                             jnp.take(roots_flat, pos, mode="clip"))
         labels_flat = labels.reshape(-1)
-        starts_dev = padded[: len(starts)]
-        new_lab = jnp.take(labels_flat, pos[: len(starts)], mode="clip")
+        starts_dev = padded[:n_edges]
+        new_lab = jnp.take(labels_flat, pos[:n_edges], mode="clip")
         old_lab = jnp.take(labels_flat, starts_dev, mode="clip")
         changed_mask = new_lab != old_lab
         changed = int(jnp.sum(changed_mask))
@@ -352,7 +372,28 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         if it >= max_iters:
             break
         if str(mode).lower() == "all":
-            known = edges_ops.edge_find(reference, labels)
+            known = edges_ops.edge_find(reference, labels, is_max)
         else:
-            known = edges_ops.edge_check(known, reference, labels)
+            known = edges_ops.edge_check(known, reference, labels, is_max)
+            if not multi:
+                # the next edge set is a subset of the changed set's
+                # 27-neighbourhoods: filter that small candidate list
+                # instead of compaction-sorting the full grid
+                cand = edges_ops.neighbors27_flat(
+                    jnp.where(changed_mask, starts_dev, -1), shape)
+                starts_small = edges_ops.filter_edges_sorted(
+                    cand, known.reshape(-1))
     return labels, total_changed
+
+
+def _fit_starts(starts_sorted: jax.Array, size: int) -> jax.Array:
+    """Resize an ascending -1-tailed index list to a walker bucket.
+
+    filter_edges_sorted puts all valid entries (ascending) first with a -1
+    tail, and the bucket size is chosen >= the valid count, so a plain
+    slice/pad preserves every entry."""
+    n = starts_sorted.shape[0]
+    if n >= size:
+        return starts_sorted[:size]
+    return jnp.concatenate(
+        [starts_sorted, jnp.full((size - n,), -1, jnp.int32)])

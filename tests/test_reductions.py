@@ -5,33 +5,34 @@ import jax.numpy as jnp
 from pybader_tpu.ops import reductions
 
 
-def test_masked_min_sweep_matches_numpy():
+def test_masked_min_pair_matches_numpy():
     rng = np.random.default_rng(0)
     n, k = 10000, 23
     labels = jnp.asarray(rng.integers(0, k, n), dtype=jnp.int32)
     values = jnp.asarray(rng.integers(0, 1 << 20, n), dtype=jnp.int32)
-    out = np.asarray(reductions.masked_min_sweep(values, labels, k))
-    lab, val = np.asarray(labels), np.asarray(values)
-    expect = np.array([val[lab == i].min() for i in range(k)])
-    np.testing.assert_array_equal(out, expect)
-
-
-def test_masked_min_sweep_with_mask():
-    rng = np.random.default_rng(1)
-    n, k = 8000, 7
-    labels = jnp.asarray(rng.integers(0, k, n), dtype=jnp.int32)
-    values = jnp.asarray(rng.integers(0, 1 << 20, n), dtype=jnp.int32)
     mask = jnp.asarray(rng.random(n) < 0.3)
-    out = np.asarray(
-        reductions.masked_min_sweep(values, labels, k, mask, with_mask=True)
-    )
+    mins, mmins = reductions.masked_min_pair(values, labels, mask, k)
     lab, val, m = np.asarray(labels), np.asarray(values), np.asarray(mask)
     big = np.iinfo(np.int32).max
+    np.testing.assert_array_equal(
+        np.asarray(mins), [val[lab == i].min() for i in range(k)])
     expect = np.array([
         val[(lab == i) & m].min() if ((lab == i) & m).any() else big
         for i in range(k)
     ])
-    np.testing.assert_array_equal(out, expect)
+    np.testing.assert_array_equal(np.asarray(mmins), expect)
+
+
+def test_masked_min_pair_odd_length():
+    rng = np.random.default_rng(1)
+    n, k = 8001, 7  # odd: exercises the cols=1 degenerate reshape
+    labels = jnp.asarray(rng.integers(0, k, n), dtype=jnp.int32)
+    values = jnp.asarray(rng.integers(0, 1 << 20, n), dtype=jnp.int32)
+    mask = jnp.asarray(rng.random(n) < 0.3)
+    mins, _ = reductions.masked_min_pair(values, labels, mask, k)
+    lab, val = np.asarray(labels), np.asarray(values)
+    np.testing.assert_array_equal(
+        np.asarray(mins), [val[lab == i].min() for i in range(k)])
 
 
 def test_remap_sweep():

@@ -50,7 +50,7 @@ def test_sharded_refinement_matches_single_device():
     ref_1, ch_1 = pipeline.refine_labels(
         "neargrid", ("changed", 2), rho, labels_1, w, tg, verbose=False
     )
-    for n in (2, 8):
+    for n in (2, 4, 8):
         mesh = make_mesh(n)
         labels_n, _ = pipeline.partition_ongrid(rho, None, w, mesh=mesh)
         ref_n, ch_n = pipeline.refine_labels(
@@ -61,26 +61,48 @@ def test_sharded_refinement_matches_single_device():
         np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(ref_1))
 
 
+def test_sharded_refinement_with_vacuum():
+    rho = make_density(5)
+    vac = rho <= np.quantile(rho, 0.25)
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    tg = g.t_grad(LATTICE, SHAPE)
+    labels_1, _ = pipeline.partition_ongrid(rho, vac, w)
+    ref_1, ch_1 = pipeline.refine_labels(
+        "neargrid", ("changed", -1), rho, labels_1, w, tg, verbose=False
+    )
+    mesh = make_mesh(8)
+    labels_n, _ = pipeline.partition_ongrid(rho, vac, w, mesh=mesh)
+    ref_n, ch_n = pipeline.refine_labels(
+        "neargrid", ("changed", -1), rho, labels_n, w, tg,
+        verbose=False, mesh=mesh,
+    )
+    assert ch_n == ch_1
+    np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(ref_1))
+
+
 def test_sharded_full_pipeline_via_bader_mesh(tmp_path, monkeypatch):
-    """End-to-end Bader() on a mesh matches the single-device run."""
+    """End-to-end Bader() on 2/4/8-device meshes matches single-device."""
     from tests.test_interface import make_bader
 
     monkeypatch.chdir(tmp_path)
     b1 = make_bader(tmp_path)
     b1(output='dat')
-    bn = make_bader(tmp_path)
-    bn.mesh = make_mesh(8)
-    bn(output='dat')
-    np.testing.assert_array_equal(
-        np.asarray(bn.bader_volumes), np.asarray(b1.bader_volumes)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(bn.atoms_volumes), np.asarray(b1.atoms_volumes)
-    )
-    np.testing.assert_allclose(bn.atoms_charge, b1.atoms_charge, atol=1e-12)
-    np.testing.assert_allclose(
-        bn.atoms_surface_distance, b1.atoms_surface_distance, atol=1e-12
-    )
+    for n in (2, 4, 8):
+        bn = make_bader(tmp_path)
+        bn.mesh = make_mesh(n)
+        bn(output='dat')
+        np.testing.assert_array_equal(
+            np.asarray(bn.bader_volumes), np.asarray(b1.bader_volumes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bn.atoms_volumes), np.asarray(b1.atoms_volumes)
+        )
+        np.testing.assert_allclose(
+            bn.atoms_charge, b1.atoms_charge, atol=1e-12)
+        np.testing.assert_allclose(
+            bn.atoms_surface_distance, b1.atoms_surface_distance,
+            atol=1e-12
+        )
 
 
 def test_sharded_step_runs_and_counts_maxima():
