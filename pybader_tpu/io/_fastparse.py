@@ -44,8 +44,44 @@ def _load():
         ctypes.c_char_p, ctypes.c_long,
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
     ]
+    lib.fp_format.restype = ctypes.c_long
+    lib.fp_format.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+    ]
     _lib = lib
     return lib
+
+
+def format_floats(values: np.ndarray, cols: int, mode: int, prec: int,
+                  n_threads: int | None = None) -> str:
+    """Format doubles into density-text rows (native fast path).
+
+    ``mode``: 0 = python exponent form, 1 = sign-column padded, 2 =
+    fortran standard form — byte-exact vs utils.python_format /
+    fortran_format (asserted in tests/test_native_format.py).
+    """
+    lib = _load()
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    vals = np.ascontiguousarray(values, dtype=np.float64).reshape(-1)
+    cap = vals.size * (prec + 12) + 64
+    buf = ctypes.create_string_buffer(cap)
+    got = lib.fp_format(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), vals.size,
+        cols, mode, prec, buf, cap, n_threads,
+    )
+    if got < 0:  # buffer estimate too small (huge exponents): retry
+        cap = -got + 64
+        buf = ctypes.create_string_buffer(cap)
+        got = lib.fp_format(
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            vals.size, cols, mode, prec, buf, cap, n_threads,
+        )
+    if got < 0:
+        raise ValueError("fp_format failed")
+    return buf.raw[:got].decode("ascii")
 
 
 def parse_floats(text: str, count: int, n_threads: int | None = None

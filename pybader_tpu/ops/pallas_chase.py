@@ -432,12 +432,14 @@ TAG = jnp.int32(1 << 28)  # flat indices < 2^27 (512^3), labels < 2^27
 @partial(jax.jit, static_argnames=("has_vacuum",))
 def _oneshot_seed(best_k, vacuum, has_vacuum):
     """Fused seed construction: one program, minimal live intermediates."""
+    from pybader_tpu.ops.reductions import cumsum_blocked
+
     shape = best_k.shape
     nx, ny, nz = shape
     is_self = best_k == jnp.uint8(13)
     is_max = (is_self & ~vacuum) if has_vacuum else is_self
     flat_max = is_max.reshape(-1)
-    ranks = (jnp.cumsum(flat_max.astype(jnp.int32)) - 1).reshape(shape)
+    ranks = (cumsum_blocked(flat_max.astype(jnp.int32)) - 1).reshape(shape)
     n_maxima = jnp.sum(flat_max.astype(jnp.int32))
     x = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     y = jax.lax.broadcasted_iota(jnp.int32, shape, 1)

@@ -172,9 +172,15 @@ def remap_sweep(labels: jax.Array, table: jax.Array,
     Negative labels are preserved.  Used to renumber basins to the
     reference's discovery order on TPU, where an n-element gather into a
     small table costs ~n/45M s but K masked selects are bandwidth-bound.
+    Small label counts unroll into one fused grid pass; larger counts loop
+    groups of 8 selects per pass.
     """
     flat = labels.reshape(-1)
     out = jnp.where(flat < 0, flat, jnp.int32(0))
+    if num_segments <= 256:
+        for k in range(num_segments):
+            out = jnp.where(flat == k, table[k].astype(jnp.int32), out)
+        return out.reshape(labels.shape)
     group = 8  # 8 selects per grid pass
 
     def body(g, out):
@@ -187,6 +193,24 @@ def remap_sweep(labels: jax.Array, table: jax.Array,
     n_groups = -(-num_segments // group)
     out = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_groups), body, out)
     return out.reshape(labels.shape)
+
+
+def cumsum_blocked(x: jax.Array) -> jax.Array:
+    """Inclusive 1-D int32 cumsum via recursive 128-lane blocks.
+
+    XLA's native long-1D cumsum lowers poorly on TPU (measured ~40ms over
+    56M elements); reshaping to (n/128, 128), scanning rows, and recursing
+    on the row totals is a few bandwidth-bound passes.  Falls back to
+    jnp.cumsum when the length has no 128 factor.
+    """
+    n = x.shape[0]
+    if n <= 4096 or n % 128 != 0:
+        return jnp.cumsum(x)
+    m = x.reshape(-1, 128)
+    inner = jnp.cumsum(m, axis=1)
+    rows = inner[:, -1]
+    offs = cumsum_blocked(rows) - rows
+    return (inner + offs[:, None]).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("size",))

@@ -33,6 +33,22 @@ def dtype_calc(max_val) -> str:
     return names[3]
 
 
+_NATIVE_FORMAT_MIN = 1 << 14  # below this, ctypes call overhead dominates
+
+
+def _native_format(a: np.ndarray, mode: int, prec: int) -> str | None:
+    """Native formatter fast path (two orders of magnitude faster than the
+    per-value Python paths; byte-exact, tests/test_native_format.py)."""
+    if a.size < _NATIVE_FORMAT_MIN:
+        return None
+    try:
+        from pybader_tpu.io._fastparse import format_floats
+
+        return format_floats(a, a.shape[1], mode, prec)
+    except Exception:  # toolchain unavailable: fall back to Python
+        return None
+
+
 def fortran_format(a: np.ndarray, prec: int) -> str:
     """Format a 2-D array in Fortran 'standard form' rows.
 
@@ -40,6 +56,9 @@ def fortran_format(a: np.ndarray, prec: int) -> str:
     place right) and negative numbers replace the leading zero with a minus:
     ``0.12345E+02`` / ``-.12345E+02``.
     """
+    native = _native_format(a, 2, prec)
+    if native is not None:
+        return native
     rows, cols = a.shape
     flat = a.reshape(-1)
     out = []
@@ -62,6 +81,10 @@ def fortran_format(a: np.ndarray, prec: int) -> str:
 
 def python_format(a: np.ndarray, prec: int, align: str = "") -> str:
     """Format a 2-D array in standard exponent form, one row per line."""
+    if align in ("", " "):
+        native = _native_format(a, 1 if align == " " else 0, prec)
+        if native is not None:
+            return native
     fmt = (f" {{:{align}.{prec}E}}" * a.shape[1] + "\n") * a.shape[0]
     return fmt.format(*a.reshape(-1))
 
