@@ -115,7 +115,7 @@ long fp_parse(const char* buf, long len, double* out, long max_out,
 namespace {
 
 void format_range(const double* vals, long lo, long hi, long n, int cols,
-                  int mode, int prec, std::string* out) {
+                  int mode, int prec, long row_len, std::string* out) {
     // std::to_chars (Ryu) is ~5-10x snprintf for doubles; its scientific
     // style matches printf %e (correctly rounded, >=2 exponent digits),
     // so uppercasing 'e' reproduces Python's :.{prec}E byte-for-byte —
@@ -166,7 +166,13 @@ void format_range(const double* vals, long lo, long hi, long n, int cols,
             *e = 'E';
             out->append(tmp, res.ptr - tmp);
         }
-        if ((i + 1) % cols == 0 || i + 1 == n) out->push_back('\n');
+        if (row_len > 0) {
+            long r = i % row_len;
+            if ((r + 1) % cols == 0 || r + 1 == row_len)
+                out->push_back('\n');
+        } else if ((i + 1) % cols == 0 || i + 1 == n) {
+            out->push_back('\n');
+        }
     }
 }
 
@@ -175,28 +181,33 @@ void format_range(const double* vals, long lo, long hi, long n, int cols,
 extern "C" {
 
 // Format n doubles; returns bytes written into out (< 0 if out is too
-// small — call again with a bigger buffer).
+// small — call again with a bigger buffer).  row_len > 0 treats the input
+// as logical rows of that many values, each formatted independently
+// (newline at every ``cols`` within a row and at the row end) — the cube
+// writer's per-z-row structure.
 long fp_format(const double* vals, long n, int cols, int mode, int prec,
-               char* out, long max_out, int n_threads) {
+               long row_len, char* out, long max_out, int n_threads) {
     if (n <= 0) return 0;
     if (cols < 1) cols = 1;
+    if (row_len < 0 || (row_len > 0 && n % row_len != 0)) return -1;
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
     if (n / cols < n_threads * 4) n_threads = 1;
 
-    // split at row boundaries so the newline logic stays local
-    long rows = (n + cols - 1) / cols;
+    // split at line/row boundaries so the newline logic stays local
+    long unit = row_len > 0 ? row_len : cols;
+    long rows = (n + unit - 1) / unit;
     std::vector<long> bounds(n_threads + 1);
     for (int t = 0; t <= n_threads; ++t) {
         long r = (rows * t) / n_threads;
-        bounds[t] = r * cols < n ? r * cols : n;
+        bounds[t] = r * unit < n ? r * unit : n;
     }
     std::vector<std::string> parts(n_threads);
     std::vector<std::thread> threads;
     threads.reserve(n_threads);
     for (int t = 0; t < n_threads; ++t) {
         threads.emplace_back(format_range, vals, bounds[t], bounds[t + 1],
-                             n, cols, mode, prec, &parts[t]);
+                             n, cols, mode, prec, row_len, &parts[t]);
     }
     for (auto& th : threads) th.join();
 

@@ -47,7 +47,7 @@ def _load():
     lib.fp_format.restype = ctypes.c_long
     lib.fp_format.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long,
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
     ]
     _lib = lib
@@ -55,12 +55,14 @@ def _load():
 
 
 def format_floats(values: np.ndarray, cols: int, mode: int, prec: int,
-                  n_threads: int | None = None) -> str:
+                  n_threads: int | None = None, row_len: int = 0) -> str:
     """Format doubles into density-text rows (native fast path).
 
     ``mode``: 0 = python exponent form, 1 = sign-column padded, 2 =
     fortran standard form — byte-exact vs utils.python_format /
     fortran_format (asserted in tests/test_native_format.py).
+    ``row_len`` > 0 formats logical rows of that many values independently
+    (each ends its own line — the cube writer's per-z-row layout).
     """
     lib = _load()
     if n_threads is None:
@@ -70,14 +72,14 @@ def format_floats(values: np.ndarray, cols: int, mode: int, prec: int,
     buf = ctypes.create_string_buffer(cap)
     got = lib.fp_format(
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), vals.size,
-        cols, mode, prec, buf, cap, n_threads,
+        cols, mode, prec, row_len, buf, cap, n_threads,
     )
-    if got < 0:  # buffer estimate too small (huge exponents): retry
+    if got < -1:  # buffer estimate too small (huge exponents): retry
         cap = -got + 64
         buf = ctypes.create_string_buffer(cap)
         got = lib.fp_format(
             vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            vals.size, cols, mode, prec, buf, cap, n_threads,
+            vals.size, cols, mode, prec, row_len, buf, cap, n_threads,
         )
     if got < 0:
         raise ValueError("fp_format failed")

@@ -114,6 +114,22 @@ def test_utils_dispatch_equivalence():
         assert big_txt.startswith(head)
 
 
+def test_row_len_matches_per_row_formatting():
+    """row_len mode == formatting each logical row independently (cube
+    writer layout: 6 per line, partial last line per z-row)."""
+    rng = np.random.default_rng(5)
+    nz = 17  # deliberately not a multiple of 6
+    plane = rng.random((9, nz)) * 1e3
+    got = format_floats(plane, 6, 0, 5, row_len=nz)
+    want = ""
+    for row in plane:
+        full = (nz // 6) * 6
+        want += _python_python_format(row[:full].reshape(-1, 6), 5)
+        if nz % 6:
+            want += _python_python_format(row[full:].reshape(1, -1), 5)
+    assert got == want
+
+
 def test_throughput_sanity():
     """Native path is at least 10x the Python path (it measures ~100x)."""
     import time
