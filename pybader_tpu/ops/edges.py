@@ -32,6 +32,12 @@ def _roll(a, off):
     return jnp.roll(a, shift=(-off[0], -off[1], -off[2]), axis=(0, 1, 2))
 
 
+# the 26 non-self offsets, negated for the roll convention above
+_NEIGH = np.array(
+    [[-o[0], -o[1], -o[2]] for k, o in enumerate(OFFSETS)
+     if k != SELF_INDEX], dtype=np.int32)
+
+
 def _edge_and_max(reference, labels, is_max=None):
     """is_edge / is_max per voxel, vacuum neighbours ignored in both.
 
@@ -42,31 +48,43 @@ def _edge_and_max(reference, labels, is_max=None):
     passing it skips 26 rolls of the f64 density grid.  Vacuum neighbours
     can never be the higher one (vacuum is the low set), so the stencil's
     is_max agrees with the vacuum-ignoring definition.
+
+    The 26-neighbour reductions run under lax.fori_loop with traced-shift
+    rolls: an unrolled formulation lets XLA materialise several full-grid
+    rolled copies at once and OOMs HBM at 512^3 (26 x 537 MB int32).
     """
-    is_edge = jnp.zeros(labels.shape, dtype=bool)
-    not_max = None if is_max is not None else jnp.zeros(
-        labels.shape, dtype=bool)
-    for k, off in enumerate(OFFSETS):
-        if k == SELF_INDEX:
-            continue
-        lab_n = _roll(labels, off)
+    offs = jnp.asarray(_NEIGH)
+
+    def body(k, carry):
+        is_edge, not_max = carry
+        o = offs[k]
+        lab_n = jnp.roll(labels, shift=(o[0], o[1], o[2]), axis=(0, 1, 2))
         nonvac_n = lab_n != -1
-        is_edge |= nonvac_n & (lab_n != labels)
-        if is_max is None:
-            rho_n = _roll(reference, off)
-            not_max |= nonvac_n & (rho_n > reference)
-    if is_max is None:
-        is_max = ~not_max
-    return is_edge, is_max
+        is_edge = is_edge | (nonvac_n & (lab_n != labels))
+        if not_max is not None:
+            rho_n = jnp.roll(reference, shift=(o[0], o[1], o[2]),
+                             axis=(0, 1, 2))
+            not_max = not_max | (nonvac_n & (rho_n > reference))
+        return is_edge, not_max
+
+    zero = jnp.zeros(labels.shape, dtype=bool)
+    if is_max is not None:
+        is_edge, _ = jax.lax.fori_loop(0, 26, lambda k, c: (
+            body(k, (c[0], None))[0], c[1]), (zero, zero))
+        return is_edge, is_max
+    is_edge, not_max = jax.lax.fori_loop(0, 26, body, (zero, zero))
+    return is_edge, ~not_max
 
 
 def _dilate26(mask):
-    out = jnp.zeros(mask.shape, dtype=bool)
-    for k, off in enumerate(OFFSETS):
-        if k == SELF_INDEX:
-            continue
-        out |= _roll(mask, off)
-    return out
+    offs = jnp.asarray(_NEIGH)
+
+    def body(k, out):
+        o = offs[k]
+        return out | jnp.roll(mask, shift=(o[0], o[1], o[2]),
+                              axis=(0, 1, 2))
+
+    return jax.lax.fori_loop(0, 26, body, jnp.zeros(mask.shape, dtype=bool))
 
 
 @jax.jit

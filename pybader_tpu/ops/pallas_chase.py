@@ -86,7 +86,8 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
                 cp.start()
             for cp in cps:
                 cp.wait()
-            done_ref[:] = jnp.full((8, 128), jnp.int32(1), dtype=jnp.int32)
+            # status 0: converged, output unchanged (see the work branch)
+            done_ref[:] = jnp.zeros((8, 128), dtype=jnp.int32)
 
         @pl.when(active)
         def _work():
@@ -210,16 +211,23 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
                 return (t + jnp.int32(1), changed,
                         jnp.maximum(any_changed, changed), new)
 
-            _, _, any_changed, vals = jax.lax.while_loop(
+            _, last_changed, any_changed, vals = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0),
                              vals0)
             )
             if not early_exit:
                 any_changed = jnp.int32(0)
+                last_changed = jnp.int32(0)
             for m in range(n_payloads):
                 out_refs[m][:] = vals[m][halo:halo + bx, halo:halo + by, :]
-            done_ref[:] = jnp.full((8, 128), jnp.int32(1) - any_changed,
-                                   dtype=jnp.int32)
+            # 2-bit status: bit1 = output changed this sweep (neighbours
+            # must re-run to see the new halo), bit0 = not locally
+            # converged (this block itself must re-run).  A block that
+            # changed and then converged re-runs only when a neighbour
+            # changes — its local fixed point is valid until its halo does.
+            done_ref[:] = jnp.full(
+                (8, 128), any_changed * jnp.int32(2) + last_changed,
+                dtype=jnp.int32)
 
     return kernel, rx, ry
 
@@ -326,16 +334,19 @@ def supports_shape(shape) -> bool:
 
 @partial(jax.jit, static_argnames=())
 def _next_flags(done, can_change):
-    """done block map -> next sweep's active flags.
+    """2-bit status block map -> next sweep's active flags.
 
-    A block is re-activated when it or a 3x3 neighbour is not done, but
-    blocks with no non-self step code anywhere (``can_change`` False) are
-    never activated: every pass maps their values to themselves, so they are
-    converged from birth and their halo contribution is constant.
+    bit1 (changed): the block's output moved this sweep — its 3x3
+    neighbours re-run to read the new halo.  bit0 (not converged): the
+    block itself re-runs.  Blocks with no non-self step code anywhere
+    (``can_change`` False) are never activated: every pass maps their
+    values to themselves, so they are converged from birth and their halo
+    contribution is constant.
     """
-    done_b = done[::8, ::128] > 0
-    nd = ~done_b
-    flags = (_dilate_blocks(nd) | nd) & can_change
+    v = done[::8, ::128]
+    changed_b = v >= 2
+    notconv_b = (v & 1) > 0
+    flags = (_dilate_blocks(changed_b) | notconv_b) & can_change
     return flags.reshape(-1).astype(jnp.int32), jnp.any(flags)
 
 
