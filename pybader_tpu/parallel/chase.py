@@ -26,7 +26,6 @@ replaced is the thread-chunk merge protocol
 """
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax
