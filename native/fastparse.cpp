@@ -124,7 +124,16 @@ void format_range(const double* vals, long lo, long hi, long n, int cols,
     out->reserve((hi - lo) * (prec + 10));
     for (long i = lo; i < hi; ++i) {
         double v = vals[i];
-        if (mode == 2) {
+        if (mode == 2 && !std::isfinite(v)) {
+            // the fortran-form log10/pow arithmetic is undefined on
+            // nan/inf; emit the uppercased token like modes 0/1 do
+            auto res = std::to_chars(tmp, tmp + sizeof tmp, v,
+                                     std::chars_format::scientific, 1);
+            out->push_back(' ');
+            for (char* c = tmp; c < res.ptr; ++c)
+                out->push_back(static_cast<char>(std::toupper(
+                    static_cast<unsigned char>(*c))));
+        } else if (mode == 2) {
             if (v == 0.0) {
                 out->append(" 0.");
                 out->append(prec, '0');
@@ -161,9 +170,18 @@ void format_range(const double* vals, long lo, long hi, long n, int cols,
             if (mode == 1 && !std::signbit(v)) out->push_back(' ');
             auto res = std::to_chars(tmp, tmp + sizeof tmp, v,
                                      std::chars_format::scientific, prec);
-            char* e = res.ptr - 1;
-            while (e > tmp && *e != 'e') --e;
-            *e = 'E';
+            if (std::isfinite(v)) {
+                char* e = res.ptr - 1;
+                while (e > tmp && *e != 'e') --e;
+                *e = 'E';
+            } else {
+                // nan/inf have no exponent: uppercase the whole token
+                // ("nan" -> "NAN", "-inf" -> "-INF"), matching Python's
+                // :.{prec}E formatting of non-finite values
+                for (char* c = tmp; c < res.ptr; ++c)
+                    *c = static_cast<char>(std::toupper(
+                        static_cast<unsigned char>(*c)));
+            }
             out->append(tmp, res.ptr - tmp);
         }
         if (row_len > 0) {

@@ -1,44 +1,67 @@
 """ctypes binding for the native float-block parser (native/fastparse.cpp).
 
-Builds the shared library lazily on first use (g++ -O3) and caches it next
-to this module.  Falls back cleanly: callers catch any exception raised here
-and use the numpy parse path (pybader_tpu/utils.py:parse_float_block).
+Builds the shared library lazily on first use (g++ -O3) into a
+content-hash-keyed path, so the binary is never shared across hosts or
+stale source revisions (an -march=native build from another CPU would
+SIGILL straight through the callers' ``except Exception`` fallbacks).
+Falls back cleanly: callers catch any exception raised here and use the
+numpy parse path (pybader_tpu/utils.py:parse_float_block).
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, os.pardir, os.pardir, "native", "fastparse.cpp")
-_LIB_PATH = os.path.join(_HERE, "libfastparse.so")
 _lib = None
 
 
-def _build():
-    src = os.path.abspath(_SRC)
-    if not os.path.isfile(src):
-        raise FileNotFoundError(src)
+def _lib_path(src: str) -> str:
+    """Build-product path keyed on the source content hash.
+
+    The package dir is preferred (persists across runs); a per-user temp
+    dir is the fallback for read-only installs.
+    """
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    name = f"libfastparse-{digest}.so"
+    if os.access(_HERE, os.W_OK):
+        return os.path.join(_HERE, name)
+    cache = os.path.join(
+        tempfile.gettempdir(), f"pybader_tpu-{os.getuid()}")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, name)
+
+
+def _build(src: str, lib_path: str):
+    # -march=native is safe: the output path is host-local and never
+    # committed, so a binary can't migrate to a CPU it wasn't built for
+    tmp = lib_path + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-        "-o", _LIB_PATH, src,
+        "-o", tmp, src,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, lib_path)  # atomic under concurrent builders
 
 
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.isfile(_LIB_PATH) or (
-        os.path.isfile(_SRC)
-        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
-    ):
-        _build()
-    lib = ctypes.CDLL(_LIB_PATH)
+    src = os.path.abspath(_SRC)
+    if not os.path.isfile(src):
+        raise FileNotFoundError(src)
+    lib_path = _lib_path(src)
+    if not os.path.isfile(lib_path):
+        _build(src, lib_path)
+    lib = ctypes.CDLL(lib_path)
     lib.fp_parse.restype = ctypes.c_long
     lib.fp_parse.argtypes = [
         ctypes.c_char_p, ctypes.c_long,

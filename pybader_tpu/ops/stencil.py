@@ -126,69 +126,6 @@ def parent_from_step_codes(best_k: jax.Array,
     return parent
 
 
-def _slab_divisor(nx: int, target: int = 32) -> int:
-    """Largest divisor of nx that is <= target (1 worst case)."""
-    for s in range(min(target, nx), 0, -1):
-        if nx % s == 0:
-            return s
-    return 1
-
-
-@partial(jax.jit, static_argnames=("weights", "slab"))
-def ongrid_parent_slabbed(reference: jax.Array, weights: tuple,
-                          vacuum: jax.Array | None = None,
-                          slab: int = 0) -> jax.Array:
-    """Memory-bounded ongrid parent: slab-wise sweep under lax.map.
-
-    Semantically identical to :func:`ongrid_parent` but processes the grid in
-    x-slabs (with one-plane periodic halos) so XLA's temporaries are bounded
-    by the slab size.  Needed for large float64 grids: the fused full-grid
-    formulation materialises tens of grid-sized f64 temps under x64 emulation
-    (512^3 would need ~28 GB of HBM scratch).
-    """
-    nx, ny, nz = reference.shape
-    if slab == 0:
-        slab = _slab_divisor(nx)
-    n_slabs = nx // slab
-    offs = np.asarray(OFFSETS, dtype=np.int32)
-
-    def one_slab(s):
-        rows = jnp.remainder(s * slab + jnp.arange(-1, slab + 1), nx)
-        d = jnp.take(reference, rows, axis=0)  # (slab+2, ny, nz)
-        rho = d[1:-1]
-        best_val = rho
-        best_k = jnp.full(rho.shape, SELF_INDEX, dtype=jnp.uint8)
-        for k, (ox, oy, oz) in enumerate(OFFSETS):
-            if k == SELF_INDEX:
-                continue
-            w = weights[k]
-            shifted = jnp.roll(d, shift=(-oy, -oz), axis=(1, 2))
-            shifted = jax.lax.dynamic_slice_in_dim(shifted, 1 + ox, slab, 0)
-            val = (shifted - rho) * w + rho
-            upd = val > best_val
-            best_val = jnp.where(upd, val, best_val)
-            best_k = jnp.where(upd, jnp.uint8(k), best_k)
-        # decode to flat parent indices for this slab
-        ox_ = jnp.asarray(offs[:, 0])[best_k]
-        oy_ = jnp.asarray(offs[:, 1])[best_k]
-        oz_ = jnp.asarray(offs[:, 2])[best_k]
-        x = s * slab + jax.lax.broadcasted_iota(jnp.int32, rho.shape, 0)
-        y = jax.lax.broadcasted_iota(jnp.int32, rho.shape, 1)
-        z = jax.lax.broadcasted_iota(jnp.int32, rho.shape, 2)
-        px = jnp.remainder(x + ox_, nx)
-        py = jnp.remainder(y + oy_, ny)
-        pz = jnp.remainder(z + oz_, nz)
-        parent = (px * ny + py) * nz + pz
-        if vacuum is not None:
-            vac = jax.lax.dynamic_slice_in_dim(vacuum, s * slab, slab, 0)
-            self_idx = (x * ny + y) * nz + z
-            parent = jnp.where(vac, self_idx, parent)
-        return parent
-
-    parent = jax.lax.map(one_slab, jnp.arange(n_slabs, dtype=jnp.int32))
-    return parent.reshape(nx, ny, nz)
-
-
 @jax.jit
 def self_index(shape_like: jax.Array) -> jax.Array:
     """Flat index of each voxel of a 3-D array (int32)."""

@@ -131,14 +131,36 @@ def test_row_len_matches_per_row_formatting():
 
 
 def test_throughput_sanity():
-    """Native path is at least 10x the Python path (it measures ~100x)."""
+    """Native per-value rate beats Python by a real margin.
+
+    Measured ~7x single-core on the 1-CPU dev VM (4.5M vs 0.6M values/s);
+    multi-core hosts add thread scaling on top.  Asserted at 4x to absorb
+    CI noise — a genuine bound, unlike the old vacuous +1.0s slack."""
     import time
 
     a = np.random.default_rng(3).random((20000, 5))
+    format_floats(a, 5, 0, 11)  # warm (first call may build the .so)
     t0 = time.perf_counter()
     format_floats(a, 5, 0, 11)
-    t_native = time.perf_counter() - t0
+    native_rate = a.size / (time.perf_counter() - t0)
     t0 = time.perf_counter()
     _python_python_format(a[:2000], 11)
-    t_python_5th = time.perf_counter() - t0
-    assert t_native < t_python_5th * 10 / 10 + 1.0  # generous CI bound
+    python_rate = a[:2000].size / (time.perf_counter() - t0)
+    assert native_rate > 4 * python_rate
+
+
+def test_nonfinite_values_match_python():
+    """nan/inf (no exponent in to_chars output) must not corrupt the
+    buffer: modes 0/1 uppercase the whole token like Python's :.xE does
+    (advisor finding: the old backward 'e' scan overwrote byte 0)."""
+    a = np.array([[np.nan, np.inf, -np.inf, 1.5, -2.25e-3]])
+    for mode, align in ((0, ""), (1, " ")):
+        got = format_floats(a, 5, mode, 11)
+        want = _python_python_format(a, 11, align=align)
+        assert got == want
+    # mode 2 (fortran form) has no Python analog for non-finite (the
+    # log10 arithmetic is undefined there); it must at least emit sane
+    # uppercase tokens instead of corrupted text
+    got2 = format_floats(a, 5, 2, 11)
+    assert "NAN" in got2 and "INF" in got2 and "E" in got2
+    assert "Ean" not in got2 and "Enf" not in got2
