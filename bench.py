@@ -1,22 +1,34 @@
 #!/usr/bin/env python
 """Driver benchmark: Bader partition throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline workload (matches the BASELINE.md north star): the PRODUCT ongrid
 partition path at 384^3 — `pipeline.partition_ongrid` end-to-end (vacuum
-mask, dd-Pallas ascent stencil, one-shot Pallas label chase, discovery-order
+mask, dd-Pallas ascent stencil, one-shot Pallas flood chase, discovery-order
 renumbering) plus per-basin charge/volume sums.  stderr detail adds 512^3
 and the DEFAULT config pipeline (method=neargrid via the documented hybrid,
 refine_mode=('changed', 2), maxima->atom assignment, surface distance) —
-the reference's acceptance workload (BASELINE.md:28-31).  Each size runs in
-its own process so HBM is clean.
+the reference's acceptance workload (BASELINE.md:28-31) — with refinement
+iteration statistics (edges walked / changed / step-cap fires).
 
-vs_baseline: ratio to the reference CPU implementation's estimated ongrid
-throughput.  pybader publishes no numbers; 8.0 Mvoxel/s is our estimate for
-its 8-thread ongrid phase (numba path-following at ~1 Mvoxel/s/thread), see
-BASELINE.md.
+Budget discipline (the round-2 artifact timed out): each size runs ONE
+subprocess covering both workloads (sharing the density and stencil
+compiles), the synthetic density is generated ON DEVICE (a 384^3 host FFT
+plus grid upload through the tunnel costs minutes; the device FFT is
+milliseconds), the headline JSON prints the moment the first workload
+reports, and every subprocess runs under its own timeout so a hang cannot
+eat the driver budget.
+
+vs_baseline: ratio to the reference CPU implementation's ongrid phase,
+anchored by a MEASURED number: native/serial_baseline.cpp (clean-room
+serial implementation of the reference's ongrid kernel semantics,
+methods.py:15-219) is timed on this host at 96^3 during the run and scaled
+by an assumed linear 8-thread speedup (the reference's default thread
+count; generous to the reference).  See BASELINE.md for the methodology
+and recorded anchors.  Falls back to the documented 2.6 Mvox/s/core dev-VM
+measurement if the toolchain is unavailable.
 """
 import json
 import os
@@ -26,26 +38,78 @@ import time
 
 import numpy as np
 
-REFERENCE_CPU_VOXELS_PER_SEC = 8.0e6  # estimated pybader 8-thread ongrid
+REFERENCE_THREADS = 8
+# measured on the round-3 dev VM (1 core, dense field, no vacuum):
+# 7.1/6.5/6.0 Mvox/s at 128/192/384 cubed (BASELINE.md) — the fallback
+# when the bench host can't build the serial baseline in-run
+FALLBACK_SERIAL_VOX_PER_SEC = 6.0e6
+ANCHOR_SIZE = 192  # serial anchor grid (FFT+walk ~40 s once, then cached)
 
 
-def synthetic_density(shape, n_blobs=60, seed=1, blur=400.0,
-                      return_centers=False):
-    """Smooth periodic blob field, a stand-in for a molecular CHGCAR."""
-    rng = np.random.default_rng(seed)
-    rho = np.zeros(shape)
-    idx = tuple(rng.integers(0, s, size=n_blobs) for s in shape)
-    rho[idx] = rng.uniform(1.0, 3.0, size=n_blobs)
+def _blob_filter(shape, blur, bg_amp, bg_blur):
     k2 = sum(
         np.fft.fftfreq(s).reshape([-1 if i == d else 1 for i in range(3)]) ** 2
         for d, s in enumerate(shape)
     )
-    rho = np.real(np.fft.ifftn(np.fft.fftn(rho) * np.exp(-k2 * blur)))
+    f = np.exp(-k2 * blur)
+    if bg_amp:
+        f = f + bg_amp * np.exp(-k2 * bg_blur)
+    return f
+
+
+def synthetic_density(shape, n_blobs=60, seed=1, blur=400.0,
+                      bg_amp=0.1, bg_blur=40000.0, return_centers=False):
+    """Dense periodic blob field, a stand-in for a bulk-solid CHGCAR.
+
+    Sharp gaussian blobs (atomic peaks) ride on a broad smooth background
+    (interstitial density) built from the same impulses.  The background
+    matters: without it the field is numerically ~zero between blobs and
+    the f64 FFT noise there spawns hundreds of thousands of meaningless
+    one-voxel basins (round-2's field needed a vacuum mask to be usable,
+    which made the workload 98% trivial skips — flattering to nobody).
+    Here every voxel does real ascent work, the basin count stays at
+    ~n_blobs, and no vacuum mask is needed — matching the reference's
+    default config (vacuum_tol=None).
+    """
+    rng = np.random.default_rng(seed)
+    rho = np.zeros(shape)
+    idx = tuple(rng.integers(0, s, size=n_blobs) for s in shape)
+    rho[idx] = rng.uniform(1.0, 3.0, size=n_blobs)
+    filt = _blob_filter(shape, blur, bg_amp, bg_blur)
+    rho = np.real(np.fft.ifftn(np.fft.fftn(rho) * filt))
     rho = np.ascontiguousarray(rho - rho.min() + 1e-9)
     if return_centers:
         centers = np.stack(idx, axis=1) / np.asarray(shape)  # fractional
         return rho, centers
     return rho
+
+
+def synthetic_density_device(shape, n_blobs=60, seed=1, blur=400.0,
+                             bg_amp=0.1, bg_blur=40000.0):
+    """Device-side f64 blob field (same construction as synthetic_density).
+
+    The impulses and the spectral filter are exact f64 host values; the FFT
+    pair runs on device in complex64 (TPU has no f64 FFT), then the field is
+    cast to f64.  The ~1e-6-relative spectral noise vs the host version
+    shifts a few basin-edge voxels but not the workload character (the
+    smooth background dominates it everywhere).
+    returns (rho device f64 array, centers fractional (n_blobs, 3)).
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    idx = tuple(rng.integers(0, s, size=n_blobs) for s in shape)
+    vals = rng.uniform(1.0, 3.0, size=n_blobs)
+    filt = jnp.asarray(_blob_filter(shape, blur, bg_amp, bg_blur),
+                       dtype=jnp.complex64)
+    flat_idx = np.ravel_multi_index(idx, shape)
+    imp = jnp.zeros(int(np.prod(shape)), jnp.float32).at[
+        jnp.asarray(flat_idx)].add(jnp.asarray(vals, jnp.float32))
+    rho = jnp.real(jnp.fft.ifftn(
+        jnp.fft.fftn(imp.reshape(shape).astype(jnp.complex64)) * filt))
+    rho = (rho - jnp.min(rho) + 1e-9).astype(jnp.float64)
+    centers = np.stack(idx, axis=1) / np.asarray(shape)
+    return rho, centers
 
 
 def _sync_scalar(x):
@@ -57,8 +121,8 @@ def _sync_scalar(x):
 
 
 def _enable_cache():
-    """Persistent XLA cache: each size runs in its own process, and warm
-    compiles must survive across them (and across driver runs)."""
+    """Persistent XLA cache: warm compiles survive across subprocesses and
+    driver runs."""
     try:
         from pybader_tpu.precompile import enable_persistent_cache
 
@@ -67,50 +131,85 @@ def _enable_cache():
         print(f"  (persistent cache unavailable: {e})", file=sys.stderr)
 
 
-def run_partition(size: int):
-    """Product ongrid partition path; returns (best_s, n_basins, charge)."""
-    import jax.numpy as jnp
+def measured_baseline():
+    """Serial reference-semantics ongrid throughput on THIS host (vox/s).
 
-    _enable_cache()
-
-    from pybader_tpu import grid, pipeline
-    from pybader_tpu.ops import reductions
-
-    shape = (size, size, size)
-    lattice = np.diag([20.0, 20.0, 20.0])
-    rho = synthetic_density(shape)
-    w = tuple(grid.distance_weights(lattice, shape))
-    rho_dev = jnp.asarray(rho)
-    _sync_scalar(rho_dev)
-    # vacuum masking at the CLI's 'auto' tolerance scale — the realistic
-    # workload, and it suppresses meaningless one-voxel noise basins in the
-    # near-zero background of the synthetic field
-    vac_tol = 1e-3 * float(rho.max())
-
-    def partition_e2e():
-        vac = rho_dev <= vac_tol
-        labels, maxima = pipeline.partition_ongrid(rho_dev, vac, w)
-        n_max = max(len(maxima), 1)
-        charge, counts = reductions.charge_volume_sum(
-            rho_dev, labels, 1.0, n_max)
-        return n_max, float(jnp.sum(charge)), counts
-
-    n_max, total, _ = partition_e2e()  # warm / compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        partition_e2e()
-        times.append(time.perf_counter() - t0)
-    return min(times), n_max, total
-
-
-def run_default(size: int):
-    """Default-config pipeline (reference acceptance workload).
-
-    method=neargrid (hybrid above 16M voxels), refine_mode=('changed', 2),
-    maxima->atom assignment, surface distance, charge sums.
-    returns (best_s, n_basins, n_changed).
+    Builds native/serial_baseline.cpp on first use and times an
+    ANCHOR_SIZE^3 partition of the SAME dense synthetic field the bench
+    partitions on device; the measurement is cached per host under
+    ~/.cache/bader-tpu (the field build dominates the one-time cost).
+    Returns the fallback constant if anything fails.
     """
+    import ctypes
+    import tempfile
+
+    cache_file = os.path.expanduser(
+        "~/.cache/bader-tpu/serial_anchor.json")
+    key = f"dense-{ANCHOR_SIZE}-seed1-v1"
+    try:
+        with open(cache_file) as f:
+            cached = json.load(f)
+        if cached.get("key") == key:
+            print(f"  serial baseline (cached): "
+                  f"{cached['vox_per_sec']/1e6:.2f} Mvox/s "
+                  f"x {REFERENCE_THREADS} threads assumed",
+                  file=sys.stderr)
+            return float(cached["vox_per_sec"])
+    except Exception:
+        pass
+    try:
+        src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "native", "serial_baseline.cpp")
+        lib_path = os.path.join(tempfile.gettempdir(),
+                                f"serial_baseline-{os.getuid()}.so")
+        if not os.path.isfile(lib_path) or (
+                os.path.getmtime(src) > os.path.getmtime(lib_path)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", lib_path, src],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(lib_path)
+        lib.so_partition.restype = ctypes.c_long
+        lib.so_partition.argtypes = (
+            [ctypes.POINTER(ctypes.c_double)] + [ctypes.c_long] * 3
+            + [ctypes.POINTER(ctypes.c_double),
+               ctypes.POINTER(ctypes.c_int)])
+        from pybader_tpu import grid
+
+        shape = (ANCHOR_SIZE,) * 3
+        rho = synthetic_density(shape)
+        w = np.asarray(grid.distance_weights(np.diag([20.0] * 3), shape))
+        labels = np.empty(shape, dtype=np.int32)
+        t0 = time.perf_counter()
+        nm = lib.so_partition(
+            rho.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), *shape,
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        dt = time.perf_counter() - t0
+        if nm <= 0:
+            raise RuntimeError(f"so_partition returned {nm}")
+        rate = int(np.prod(shape)) / dt
+        print(f"  serial baseline (this host, {nm} maxima): "
+              f"{rate/1e6:.2f} Mvox/s x {REFERENCE_THREADS} threads "
+              f"assumed", file=sys.stderr)
+        try:
+            os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+            with open(cache_file, "w") as f:
+                json.dump({"key": key, "vox_per_sec": rate,
+                           "n_maxima": int(nm), "seconds": dt}, f)
+        except Exception:
+            pass
+        return rate
+    except Exception as e:
+        print(f"  serial baseline unavailable ({e}); using recorded "
+              f"{FALLBACK_SERIAL_VOX_PER_SEC/1e6:.1f} Mvox/s",
+              file=sys.stderr)
+        return FALLBACK_SERIAL_VOX_PER_SEC
+
+
+def run_both(size: int):
+    """Both workloads for one size in one process; prints one JSON line per
+    workload on stdout the moment it completes."""
     import jax.numpy as jnp
 
     _enable_cache()
@@ -123,20 +222,44 @@ def run_default(size: int):
 
     shape = (size, size, size)
     lattice = np.diag([20.0, 20.0, 20.0])
-    rho, centers = synthetic_density(shape, return_centers=True)
+    try:
+        rho_dev, centers = synthetic_density_device(shape)
+        _sync_scalar(rho_dev)
+    except Exception as e:
+        print(f"  device density failed ({e}); host fallback",
+              file=sys.stderr)
+        rho_h, centers = synthetic_density(shape, return_centers=True)
+        rho_dev = jnp.asarray(rho_h)
+        _sync_scalar(rho_dev)
     atoms_cart = centers @ lattice
     w = tuple(grid.distance_weights(lattice, shape))
     tg = grid.t_grad(lattice, shape)
-    rho_dev = jnp.asarray(rho)
-    _sync_scalar(rho_dev)
-    vac_tol = 1e-3 * float(rho.max())
 
-    def default_e2e():
-        vac = rho_dev <= vac_tol
-        labels, maxima = pipeline.partition_neargrid(rho_dev, vac, w, tg)
+    # ---- workload 1: product ongrid partition + charge sums
+    # (no vacuum mask: the reference's default config is vacuum_tol=None,
+    # and the dense field gives every voxel real ascent work)
+    def partition_e2e():
+        labels, maxima = pipeline.partition_ongrid(rho_dev, None, w)
+        n_max = max(len(maxima), 1)
+        charge, counts = reductions.charge_volume_sum(
+            rho_dev, labels, 1.0, n_max)
+        return n_max, float(jnp.sum(charge)), counts
+
+    n_max, total, _ = partition_e2e()  # warm / compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        partition_e2e()
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({"size": size, "best": min(times), "n_max": n_max,
+                      "total": total, "workload": "partition"}), flush=True)
+
+    # ---- workload 2: default acceptance pipeline
+    def default_e2e(stats=None):
+        labels, maxima = pipeline.partition_neargrid(rho_dev, None, w, tg)
         labels, changed = pipeline.refine_labels(
             "neargrid", ("changed", 2), rho_dev, labels, w, tg,
-            verbose=False)
+            verbose=False, stats=stats)
         n_max = max(len(maxima), 1)
         # maxima -> atoms, voxel map relabel (ref thread_handlers:78-125)
         mx_cart = (np.asarray(maxima) / np.asarray(shape)) @ lattice
@@ -158,70 +281,85 @@ def run_default(size: int):
         _sync_scalar(dists)
         return n_max, int(changed), float(jnp.sum(charge))
 
-    n_max, changed, total = default_e2e()  # warm / compile
+    stats = {}
+    n_max, changed, total = default_e2e(stats)  # warm / compile
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
         default_e2e()
         times.append(time.perf_counter() - t0)
-    return min(times), n_max, changed
+    print(json.dumps({"size": size, "best": min(times), "n_max": n_max,
+                      "changed": changed, "workload": "default",
+                      "refine_stats": stats.get("iterations", [])}),
+          flush=True)
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1].startswith("--size="):
-        size = int(sys.argv[1].split("=")[1])
-        workload = sys.argv[2] if len(sys.argv) > 2 else "partition"
-        if workload == "default":
-            best, n_max, changed = run_default(size)
-            print(json.dumps({"size": size, "best": best, "n_max": n_max,
-                              "changed": changed, "workload": "default"}))
-        else:
-            best, n_max, total = run_partition(size)
-            print(json.dumps({"size": size, "best": best, "n_max": n_max,
-                              "total": total, "workload": "partition"}))
+        run_both(int(sys.argv[1].split("=")[1]))
         return
 
-    results = {}
-    # the headline (384^3 partition) runs FIRST and its JSON line prints
-    # immediately: detail workloads that follow are compile-heavy, and a
-    # driver-side timeout must not cost the judged metric
-    for size, workload in ((384, "partition"), (512, "partition"),
-                           (384, "default"), (512, "default")):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), f"--size={size}",
-             workload],
-            capture_output=True, text=True,
+    serial = measured_baseline()
+    baseline_8t = serial * REFERENCE_THREADS
+    headline_done = False
+    budget = {384: 300, 512: 420}
+    for size in (384, 512):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), f"--size={size}"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if not line:
-            print(f"  {workload} {size} failed:\n{proc.stderr[-2000:]}",
-                  file=sys.stderr)
-        else:
-            r = json.loads(line[-1])
-            n = size ** 3
-            results[(size, workload)] = r
-            print(
-                f"  {workload} {size}^3: {r['best']:.3f}s e2e, "
-                f"{n / r['best'] / 1e6:.1f} Mvox/s, {r['n_max']} basins",
-                file=sys.stderr,
-            )
-        if (size, workload) == (384, "partition"):
-            if (384, "partition") in results:
-                best = results[(384, "partition")]["best"]
-                vox_per_sec = 384 ** 3 / best
-                payload = {
-                    "metric": "ongrid_partition_voxels_per_sec_384cube",
-                    "value": round(vox_per_sec, 1),
-                    "unit": "voxel/s",
-                    "vs_baseline": round(
-                        vox_per_sec / REFERENCE_CPU_VOXELS_PER_SEC, 2),
-                }
-            else:
-                payload = {
-                    "metric": "ongrid_partition_voxels_per_sec_384cube",
-                    "value": 0.0, "unit": "voxel/s", "vs_baseline": 0.0,
-                }
-            print(json.dumps(payload), flush=True)
+        deadline = time.time() + budget[size]
+        try:
+            while True:
+                if time.time() > deadline:
+                    proc.kill()
+                    print(f"  size {size} exceeded {budget[size]}s budget",
+                          file=sys.stderr)
+                    break
+                line = proc.stdout.readline()
+                if not line:
+                    if proc.poll() is not None:
+                        break
+                    continue
+                if not line.startswith("{"):
+                    continue
+                r = json.loads(line)
+                n = size ** 3
+                extra = ""
+                if r["workload"] == "default" and r.get("refine_stats"):
+                    it = ["/".join(map(str, t)) for t in r["refine_stats"]]
+                    extra = (f", refine edges/changed/capped per iter: "
+                             f"{'; '.join(it)}")
+                print(
+                    f"  {r['workload']} {size}^3: {r['best']:.3f}s e2e, "
+                    f"{n / r['best'] / 1e6:.1f} Mvox/s, "
+                    f"{r['n_max']} basins{extra}",
+                    file=sys.stderr,
+                )
+                if r["workload"] == "partition" and size == 384 \
+                        and not headline_done:
+                    vox_per_sec = n / r["best"]
+                    print(json.dumps({
+                        "metric": "ongrid_partition_voxels_per_sec_384cube",
+                        "value": round(vox_per_sec, 1),
+                        "unit": "voxel/s",
+                        "vs_baseline": round(vox_per_sec / baseline_8t, 2),
+                    }), flush=True)
+                    headline_done = True
+        finally:
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            err = proc.stderr.read()
+            if err and proc.returncode not in (0, None):
+                print(f"  size {size} stderr tail:\n{err[-1500:]}",
+                      file=sys.stderr)
+    if not headline_done:
+        print(json.dumps({
+            "metric": "ongrid_partition_voxels_per_sec_384cube",
+            "value": 0.0, "unit": "voxel/s", "vs_baseline": 0.0,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,13 @@ order turns out not to affect the final ``known`` state (any non-edge voxel
 adjacent to an edge ends at -1 regardless of visit order), so the parallel
 formulation is exact.
 
+The 26-neighbour reductions are *separable*: the 3x3x3 box (self included)
+is the composition of per-axis 3-windows, so "any neighbour label differs"
+becomes per-axis min/max sweeps — 12 unit rolls of the label grid instead
+of 26 arbitrary-offset rolls, and "no neighbour density is higher" becomes
+6 unit rolls of the density grid.  Unit-static rolls also unroll cleanly
+(the old fori-loop form serialised 26 traced-shift rolls per reduction).
+
 ``known`` encoding (reference convention): 2 = interior or local max,
 -1 = near an edge, -2 = edge voxel (to be refined), 0 = untouched (vacuum
 far from any edge).
@@ -28,63 +35,52 @@ import jax.numpy as jnp
 from pybader_tpu.grid import OFFSETS, SELF_INDEX
 
 
-def _roll(a, off):
-    return jnp.roll(a, shift=(-off[0], -off[1], -off[2]), axis=(0, 1, 2))
+def _axis3(a, axis, combine):
+    """combine(a, a shifted +1, a shifted -1) along one axis (periodic)."""
+    return combine(combine(a, jnp.roll(a, 1, axis)), jnp.roll(a, -1, axis))
 
 
-# the 26 non-self offsets, negated for the roll convention above
-_NEIGH = np.array(
-    [[-o[0], -o[1], -o[2]] for k, o in enumerate(OFFSETS)
-     if k != SELF_INDEX], dtype=np.int32)
+def _box_reduce(a, combine):
+    """Separable 3x3x3 reduction (self included), periodic."""
+    for axis in range(3):
+        a = _axis3(a, axis, combine)
+    return a
 
 
 def _edge_and_max(reference, labels, is_max=None):
     """is_edge / is_max per voxel, vacuum neighbours ignored in both.
 
+    A voxel is an edge iff some non-vacuum neighbour carries a different
+    label: masking vacuum labels to +-sentinel and taking the separable
+    box min/max, that is exactly ``box_max != box_min`` (self is in the
+    box and contributes the voxel's own label on non-vacuum voxels).
+
     ``is_max`` can be supplied precomputed: a voxel is a local max iff no
     neighbour has strictly higher density, which is exactly the self step
     of the ascent stencil (``bk == 13``, weights are positive so the
     weighted candidate exceeds the centre iff the raw density does) —
-    passing it skips 26 rolls of the f64 density grid.  Vacuum neighbours
-    can never be the higher one (vacuum is the low set), so the stencil's
-    is_max agrees with the vacuum-ignoring definition.
-
-    The 26-neighbour reductions run under lax.fori_loop with traced-shift
-    rolls: an unrolled formulation lets XLA materialise several full-grid
-    rolled copies at once and OOMs HBM at 512^3 (26 x 537 MB int32).
+    passing it skips the 6 density rolls.  Vacuum neighbours can never be
+    the higher one (vacuum is the low set), so the stencil's is_max agrees
+    with the vacuum-ignoring definition.  Without it, the separable box
+    max of the density equals the centre density iff no neighbour exceeds
+    it (exact: max returns a member of the set).
     """
-    offs = jnp.asarray(_NEIGH)
-
-    def body(k, carry):
-        is_edge, not_max = carry
-        o = offs[k]
-        lab_n = jnp.roll(labels, shift=(o[0], o[1], o[2]), axis=(0, 1, 2))
-        nonvac_n = lab_n != -1
-        is_edge = is_edge | (nonvac_n & (lab_n != labels))
-        if not_max is not None:
-            rho_n = jnp.roll(reference, shift=(o[0], o[1], o[2]),
-                             axis=(0, 1, 2))
-            not_max = not_max | (nonvac_n & (rho_n > reference))
-        return is_edge, not_max
-
-    zero = jnp.zeros(labels.shape, dtype=bool)
-    if is_max is not None:
-        is_edge, _ = jax.lax.fori_loop(0, 26, lambda k, c: (
-            body(k, (c[0], None))[0], c[1]), (zero, zero))
-        return is_edge, is_max
-    is_edge, not_max = jax.lax.fori_loop(0, 26, body, (zero, zero))
-    return is_edge, ~not_max
+    vac = labels == -1
+    big = jnp.int32(np.iinfo(np.int32).max)
+    lab = labels.astype(jnp.int32)
+    lmax = _box_reduce(jnp.where(vac, -big, lab), jnp.maximum)
+    lmin = _box_reduce(jnp.where(vac, big, lab), jnp.minimum)
+    is_edge = lmax != lmin
+    if is_max is None:
+        neg = jnp.asarray(-np.inf, dtype=reference.dtype)
+        rmax = _box_reduce(jnp.where(vac, neg, reference), jnp.maximum)
+        is_max = rmax == reference
+    return is_edge, is_max
 
 
 def _dilate26(mask):
-    offs = jnp.asarray(_NEIGH)
-
-    def body(k, out):
-        o = offs[k]
-        return out | jnp.roll(mask, shift=(o[0], o[1], o[2]),
-                              axis=(0, 1, 2))
-
-    return jax.lax.fori_loop(0, 26, body, jnp.zeros(mask.shape, dtype=bool))
+    """Separable periodic 3x3x3 dilation (6 unit rolls)."""
+    return _box_reduce(mask, jnp.logical_or)
 
 
 @jax.jit
@@ -154,7 +150,7 @@ def edge_check(known: jax.Array, reference: jax.Array,
     """
     nonvac = labels != -1
     changed = known == -2
-    cand = (changed | _dilate26(changed)) & nonvac
+    cand = _dilate26(changed) & nonvac  # self included in the box
     is_edge, is_max = _edge_and_max(reference, labels, is_max)
     new_edge = cand & is_edge & ~is_max
     not_edge = cand & ~is_edge

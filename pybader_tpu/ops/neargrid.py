@@ -10,9 +10,16 @@ dr reset.
 TPU-native formulation: every trajectory advances in lockstep inside one
 ``lax.while_loop``; the ongrid fallback is a single gather into the
 precomputed ascent-pointer array (:func:`pybader_tpu.ops.stencil
-.ongrid_parent`), and path-revisit detection uses the last two positions
+.ongrid_parent`), and path-revisit detection uses the recent positions
 (period-1/2 cycles — the only revisits the neargrid step rule produces in
 practice) plus a step cap with a provably-terminating ongrid fallback.
+
+Lockstep walking makes every lane pay for the slowest trajectory (each step
+gathers for the full batch, finished lanes included).  :func:`walk_drain`
+fixes the tail latency: it walks in bounded segments and periodically
+compacts the still-running lanes into a smaller batch (argsort + take on
+the batch, both tiny next to a full-batch step), so the short majority
+retires early and the long tail runs in a batch its own size.
 
 Deliberate deviation (documented): the reference's *initial* neargrid pass
 adopts labels from already-visited voxels (methods.py:509-511), making raw
@@ -26,6 +33,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -39,36 +47,28 @@ def _round_away(x):
     return jnp.trunc(x + jnp.where(x > 0, 0.5, -0.5)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("shape", "strict_grad", "max_steps"))
-def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
-         stop_flat: jax.Array, t_grad: jax.Array, shape: tuple,
-         strict_grad: bool = False, max_steps: int = 0):
-    """Walk neargrid trajectories from ``starts`` until they terminate.
+_HIST = 3  # recent-position window (catches period <= 5 cycles with prev)
 
-    args:
-        starts: (K,) int32 flat start voxels, padded with -1 (padding slots
-                are born done).
-        rho_flat: (N,) reference density.
-        parent_flat: (N,) ongrid ascent pointers (fallback steps and maxima
-                test: parent[p] == p iff p is an ongrid maximum).
-        stop_flat: (N,) bool; *arriving* at a True voxel terminates the walk
-                (the refinement driver passes known==2 "interior" voxels,
-                reference refinement.py:294-303; pass all-False to walk to
-                maxima).
-        t_grad: (3,3) gradient -> voxel-step transform.
-        shape: static (nx, ny, nz).
-        strict_grad: gradient-zero test flavour — False for the initial
-                method (`rho+ <= rho_p >= rho-`, methods.py:324), True for
-                refinement (`rho+ < rho_p > rho-`, refinement.py:111).
-        max_steps: safety cap; 0 means 2*(nx+ny+nz)+64.  Trajectories still
-                running at the cap report done=False and the caller should
-                resolve them through the ongrid roots.
-    returns:
-        (final_pos (K,) int32, done (K,) bool)
+
+def _init_state(starts, dtype):
+    pos0 = jnp.clip(starts, 0).astype(jnp.int32)
+    done0 = starts < 0
+    prev0 = jnp.full_like(pos0, -1)
+    hist0 = jnp.full(starts.shape + (_HIST,), -1, dtype=jnp.int32)
+    dr0 = jnp.zeros(starts.shape + (3,), dtype=dtype)
+    return pos0, prev0, hist0, dr0, done0
+
+
+@partial(jax.jit, static_argnames=("shape", "strict_grad", "max_steps"))
+def _walk_segment(state, rho_flat, parent_flat, stop_flat, t_grad,
+                  shape: tuple, strict_grad: bool, max_steps: int):
+    """Advance all live trajectories by up to ``max_steps`` steps.
+
+    ``state`` is (pos, prev, hist, dr, done); returns the updated state
+    with ``done`` refreshed from the final positions.  Pure function of its
+    inputs — callers segment/compact/resume freely.
     """
     nx, ny, nz = shape
-    if max_steps == 0:
-        max_steps = 2 * (nx + ny + nz) + 64
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
 
     def flat(xyz):
@@ -77,18 +77,12 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
     def unflat(p):
         return jnp.stack([p // (ny * nz), (p // nz) % ny, p % nz], axis=-1)
 
-    pos0 = jnp.clip(starts, 0).astype(jnp.int32)
-    done0 = starts < 0
-    prev0 = jnp.full_like(pos0, -1)
-    hist0 = jnp.full(starts.shape + (3,), -1, dtype=jnp.int32)
-    dr0 = jnp.zeros(starts.shape + (3,), dtype=rho_flat.dtype)
-
-    def cond(state):
-        pos, prev, hist, dr, done, step = state
+    def cond(carry):
+        pos, prev, hist, dr, done, step = carry
         return (~jnp.all(done)) & (step < max_steps)
 
-    def body(state):
-        pos, prev, hist, dr, done, step = state
+    def body(carry):
+        pos, prev, hist, dr, done, step = carry
         # -- termination checks on the current position
         at_stop = jnp.take(stop_flat, pos, mode="clip")
         at_max = jnp.take(parent_flat, pos, mode="clip") == pos
@@ -145,14 +139,131 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
         dr_out = jnp.where(done[:, None], dr, dr_after)
         return pos_new, prev_new, hist_new, dr_out, done, step + 1
 
+    pos, prev, hist, dr, done = state
     pos, prev, hist, dr, done, _ = jax.lax.while_loop(
-        cond, body, (pos0, prev0, hist0, dr0, done0, jnp.int32(0))
+        cond, body, (pos, prev, hist, dr, done, jnp.int32(0))
     )
     # final termination flags for trajectories that stopped on the last step
     at_stop = jnp.take(stop_flat, pos, mode="clip")
     at_max = jnp.take(parent_flat, pos, mode="clip") == pos
     done = done | at_stop | at_max
+    return pos, prev, hist, dr, done
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _compact_state(state, size: int):
+    """Pack still-running lanes first and slice the batch to ``size``.
+
+    Returns (packed state, orig (size,) original lane indices, n_alive).
+    The argsort is stable, so lane order within alive/done groups is
+    preserved (walk results are order-independent anyway).
+    """
+    pos, prev, hist, dr, done = state
+    order = jnp.argsort(done, stable=True).astype(jnp.int32)  # alive first
+    orig = order[:size]
+    take = lambda a: jnp.take(a, orig, axis=0)  # noqa: E731
+    return ((take(pos), take(prev), take(hist), take(dr), take(done)),
+            orig, jnp.sum(~done))
+
+
+@partial(jax.jit, static_argnames=())
+def _scatter_back(out_pos, out_done, orig, pos, done):
+    return out_pos.at[orig].set(pos), out_done.at[orig].set(done)
+
+
+def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
+         stop_flat: jax.Array, t_grad: jax.Array, shape: tuple,
+         strict_grad: bool = False, max_steps: int = 0):
+    """Walk neargrid trajectories from ``starts`` until they terminate.
+
+    args:
+        starts: (K,) int32 flat start voxels, padded with -1 (padding slots
+                are born done).
+        rho_flat: (N,) reference density.
+        parent_flat: (N,) ongrid ascent pointers (fallback steps and maxima
+                test: parent[p] == p iff p is an ongrid maximum).
+        stop_flat: (N,) bool; *arriving* at a True voxel terminates the walk
+                (the refinement driver passes known==2 "interior" voxels,
+                reference refinement.py:294-303; pass all-False to walk to
+                maxima).
+        t_grad: (3,3) gradient -> voxel-step transform.
+        shape: static (nx, ny, nz).
+        strict_grad: gradient-zero test flavour — False for the initial
+                method (`rho+ <= rho_p >= rho-`, methods.py:324), True for
+                refinement (`rho+ < rho_p > rho-`, refinement.py:111).
+        max_steps: safety cap; 0 means 2*(nx+ny+nz)+64.  Trajectories still
+                running at the cap report done=False and the caller should
+                resolve them through the ongrid roots.
+    returns:
+        (final_pos (K,) int32, done (K,) bool)
+    """
+    nx, ny, nz = shape
+    if max_steps == 0:
+        max_steps = 2 * (nx + ny + nz) + 64
+    state = _init_state(starts, rho_flat.dtype)
+    pos, _, _, _, done = _walk_segment(
+        state, rho_flat, parent_flat, stop_flat, t_grad, shape,
+        strict_grad, max_steps)
     return pos, done
+
+
+def walk_drain(starts: jax.Array, rho_flat: jax.Array,
+               parent_flat: jax.Array, stop_flat: jax.Array,
+               t_grad: jax.Array, shape: tuple,
+               strict_grad: bool = False, max_steps: int = 0,
+               segment: int = 24, min_batch: int = 4096,
+               progress=None):
+    """:func:`walk` with tail-latency drain (same contract, same results).
+
+    Walks in ``segment``-step slices; after each slice the still-running
+    lanes are compacted into the smallest power-of-4 bucket that holds
+    them, so the cost of a step scales with the *live* batch, not the
+    initial one.  Most edge re-walks terminate within a few steps while a
+    few run for hundreds — lockstep walking pays K*T_max gathers, draining
+    pays ~sum(per-lane path length).
+
+    ``progress``: optional callback(steps_done, n_alive) per segment.
+    """
+    nx, ny, nz = shape
+    if max_steps == 0:
+        max_steps = 2 * (nx + ny + nz) + 64
+    k0 = int(starts.shape[0])
+    state = _init_state(starts, rho_flat.dtype)
+    out_pos = state[0]
+    out_done = state[4]
+    orig = None  # lane -> original index map once compacted
+    steps = 0
+    size = k0
+    while steps < max_steps:
+        seg = min(segment, max_steps - steps)
+        state = _walk_segment(state, rho_flat, parent_flat, stop_flat,
+                              t_grad, shape, strict_grad, seg)
+        steps += seg
+        n_alive = int(jnp.sum(~state[4]))
+        if progress is not None:
+            progress(steps, n_alive)
+        if n_alive == 0:
+            break
+        # shrink the batch once the live set fits a 4x smaller bucket
+        new_size = max(min_batch, 1 << (max(n_alive, 1) - 1).bit_length())
+        if new_size.bit_length() % 2 == 0:
+            new_size <<= 1  # powers of 4: fewer compile buckets
+        if new_size < size and size > min_batch:
+            if orig is not None:
+                out_pos, out_done = _scatter_back(
+                    out_pos, out_done, orig, state[0], state[4])
+            else:
+                out_pos, out_done = state[0], state[4]
+            packed, sub, _ = _compact_state(state, new_size)
+            orig = sub if orig is None else jnp.take(orig, sub)
+            state = packed
+            size = new_size
+    if orig is not None:
+        out_pos, out_done = _scatter_back(
+            out_pos, out_done, orig, state[0], state[4])
+    else:
+        out_pos, out_done = state[0], state[4]
+    return out_pos, out_done
 
 
 def pad_starts(idx, min_size: int = 4096):
@@ -161,8 +272,6 @@ def pad_starts(idx, min_size: int = 4096):
     Bucketing lengths limits jit recompilation of the walker across
     refinement iterations.
     """
-    import numpy as np
-
     n = max(int(len(idx)), 1)
     size = max(min_size, 1 << (n - 1).bit_length())
     # coarsen to powers of 4: each distinct walker size costs a fresh XLA

@@ -10,8 +10,7 @@ by :func:`pybader_tpu.ops.stencil.ongrid_parent` always point at one of the
 
 is therefore a pure 26-neighbour stencil: roll A by each offset and select by
 the per-voxel step code ``best_k``.  This kernel runs many such passes per
-HBM round-trip inside VMEM (block + halo, one pass consumes one halo layer),
-with two levels of adaptivity:
+HBM round-trip inside VMEM (block + halo), with two levels of adaptivity:
 
  - per-block early exit: a block stops iterating once a pass changes none of
    its centre values;
@@ -20,10 +19,22 @@ with two levels of adaptivity:
    or running any pass, so late sweeps only touch the few blocks still
    carrying long chains (ridge lines).
 
-Invariant making stale halos safe: every intermediate value is a valid
-``parent^t[i]`` for some t >= 1; passes only increase t, values along a
-chain never repeat before reaching the root (strict ascent, no cycles), and
-the unique fixed point is the root (roots are self-parents).
+Two value semantics ride the same kernel:
+
+ - **pointer composition** (:func:`resolve_roots_pallas`): values start as
+   one-step parents; every intermediate value is a valid ``parent^t[i]``
+   for some t >= 1, passes only advance t, values along a chain never
+   repeat before the root (strict ascent, no cycles), and the unique fixed
+   point is the root.  Stale halos can only delay convergence.
+ - **label flooding** (:func:`labels_oneshot`): maxima are seeded with
+   their 1-based label, everything else with 0.  A voxel's value changes
+   at most once (0 -> its root's label, the first non-zero value its
+   parent chain delivers — correct because each chain leads to exactly one
+   root), so values are monotone and stale halos are again merely late.
+   Flooding makes pre-front blocks free: an unlabeled region changes
+   nothing, early-exits after one pass, and sleeps until a neighbour's
+   change flag wakes it — where composition semantics burned dozens of
+   passes composing pointers nobody would ever read.
 """
 from __future__ import annotations
 
@@ -45,25 +56,13 @@ def _pick_block(n: int, target: int) -> int:
     return n
 
 
-def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
-    """Kernel factory; n_payloads int32 arrays are chased with shared codes.
-
-    Payload 0 is the pointer array (convergence is tested on it — its chain
-    values never repeat before the root); extra payloads (e.g. dense basin
-    labels seeded at the maxima) ride along through identical roll-selects.
-    """
+def _make_kernel(nx, ny, nz, bx, by, halo, max_passes):
+    """Single-payload chase kernel factory."""
     rx = bx + 2 * halo
     ry = by + 2 * halo
 
-    def kernel(flags_ref, *refs):
-        p_any = refs[:n_payloads]
-        bk_any = refs[n_payloads]
-        out_refs = refs[n_payloads + 1:2 * n_payloads + 1]
-        done_ref = refs[2 * n_payloads + 1]
-        p_loc = refs[2 * n_payloads + 2:3 * n_payloads + 2]
-        bk_loc = refs[3 * n_payloads + 2]
-        bk32_loc = refs[3 * n_payloads + 3]
-        sems = refs[3 * n_payloads + 4]
+    def kernel(flags_ref, p_any, bk_any, out_ref, done_ref,
+               p_loc, bk_loc, bk32_loc, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
         gy = pl.num_programs(1)
@@ -73,19 +72,14 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
 
         @pl.when(jnp.logical_not(active))
         def _copy_through():
-            cps = [
-                pltpu.make_async_copy(
-                    p_any[m].at[pl.ds(pl.multiple_of(x0, 8), bx),
-                                pl.ds(pl.multiple_of(y0, 8), by), :],
-                    out_refs[m],
-                    sems.at[jnp.int32(m)],
-                )
-                for m in range(n_payloads)
-            ]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
+            cp = pltpu.make_async_copy(
+                p_any.at[pl.ds(pl.multiple_of(x0, 8), bx),
+                         pl.ds(pl.multiple_of(y0, 8), by), :],
+                out_ref,
+                sems.at[jnp.int32(0)],
+            )
+            cp.start()
+            cp.wait()
             # status 0: converged, output unchanged (see the work branch)
             done_ref[:] = jnp.zeros((8, 128), dtype=jnp.int32)
 
@@ -107,11 +101,9 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
             ys = [(pl.multiple_of(s, 8), l, d) for (s, l, d) in ys]
             copies = []
             c = 0
-            srcs = list(p_any) + [bk_any]
-            dsts = list(p_loc) + [bk_loc]
             for (sx, lx, dx) in xs:
                 for (sy, ly, dy) in ys:
-                    for src, dst in zip(srcs, dsts):
+                    for src, dst in ((p_any, p_loc), (bk_any, bk_loc)):
                         copies.append(pltpu.make_async_copy(
                             src.at[pl.ds(sx, lx), pl.ds(sy, ly), :],
                             dst.at[pl.ds(dx, lx), pl.ds(dy, ly), :],
@@ -128,36 +120,32 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
             # per pass)
             bk32_loc[:] = bk_loc[:].astype(jnp.int32)
 
-            # One pass: out[i] = a[i + off(bk[i])] for every payload.
-            # Nested fori loops serialise the rolls (a flat unrolled version
-            # keeps all 26 rolled copies alive and OOMs VMEM) and reuse
-            # partial x/y rolls.  Offset code k = (ox+1)*9 + (oy+1)*3 +
-            # (oz+1); k == 13 is the self step and harmlessly selects the
-            # input itself.  All shapes stay (8,128)-tile-aligned and all
+            # One pass: out[i] = a[i + off(bk[i])].  Nested fori loops
+            # serialise the rolls (a flat unrolled version keeps all 26
+            # rolled copies alive and OOMs VMEM) and reuse partial x/y
+            # rolls.  Offset code k = (ox+1)*9 + (oy+1)*3 + (oz+1);
+            # k == 13 is the self step and harmlessly selects the input
+            # itself.  All shapes stay (8,128)-tile-aligned and all
             # neighbour access is pltpu.roll — misaligned static slices
             # blow up Mosaic compilation.
             def one_pass(vals):
                 def over_dx(kx, outs):
                     sx = jax.lax.rem(jnp.int32(rx) + jnp.int32(1) - kx,
                                      jnp.int32(rx))
-                    vx = tuple(pltpu.roll(v, sx, 0) for v in vals)
+                    vx = pltpu.roll(vals, sx, 0)
 
                     def over_dy(ky, outs2):
                         sy = jax.lax.rem(jnp.int32(ry) + jnp.int32(1) - ky,
                                          jnp.int32(ry))
-                        vxy = tuple(pltpu.roll(v, sy, 1) for v in vx)
+                        vxy = pltpu.roll(vx, sy, 1)
                         base = kx * jnp.int32(9) + ky * jnp.int32(3)
                         for kz, dz in enumerate((-1, 0, 1)):
                             m = bk32_loc[:] == base + jnp.int32(kz)
-                            new_outs = []
-                            for v, o in zip(vxy, outs2):
-                                if dz:
-                                    r = pltpu.roll(
-                                        v, np.int32((-dz) % nz), 2)
-                                else:
-                                    r = v
-                                new_outs.append(jnp.where(m, r, o))
-                            outs2 = tuple(new_outs)
+                            if dz:
+                                r = pltpu.roll(vxy, np.int32((-dz) % nz), 2)
+                            else:
+                                r = vxy
+                            outs2 = jnp.where(m, r, outs2)
                         return outs2
 
                     return jax.lax.fori_loop(
@@ -168,24 +156,22 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
 
             # Ring restore: the x/y rolls wrap around the buffer, writing
             # garbage into the outermost layer each pass; restoring that
-            # ring from the loaded snapshot keeps every value a valid
-            # ``parent^t`` composition, so the pass count is NOT capped at
-            # the halo depth — in-block chains converge fully within one
-            # sweep (fresh cross-block information still enters halo-deep
-            # per sweep).  z needs no ring: the full column wraps
-            # physically.
+            # ring from the loaded snapshot keeps every value valid under
+            # both semantics, so the pass count is NOT capped at the halo
+            # depth — in-block chains converge fully within one sweep
+            # (fresh cross-block information still enters halo-deep per
+            # sweep).  z needs no ring: the full column wraps physically.
             ix = jax.lax.broadcasted_iota(jnp.int32, (rx, ry, nz), 0)
             iy = jax.lax.broadcasted_iota(jnp.int32, (rx, ry, nz), 1)
             ring = ((ix == 0) | (ix == jnp.int32(rx - 1))
                     | (iy == 0) | (iy == jnp.int32(ry - 1)))
-            vals0 = tuple(ref[:] for ref in p_loc)
-            max_passes = 4 * halo if early_exit else halo
+            vals0 = p_loc[:]
 
             # state: (t, last pass changed?, ANY pass changed?, values).
             # ``done`` must mean "this sweep changed nothing" (output ==
             # input): a block that changed and then locally converged must
             # still report not-done, or its neighbours would never see its
-            # new halo values and could terminate on stale compositions.
+            # new halo values and could terminate on stale values.
             def cond(state):
                 t, changed, _, _ = state
                 return jnp.logical_and(t < jnp.int32(max_passes),
@@ -194,20 +180,13 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
             def body(state):
                 t, _, any_changed, vals = state
                 new = one_pass(vals)
-                new = tuple(jnp.where(ring, v0, nv)
-                            for v0, nv in zip(vals0, new))
-                if early_exit:
-                    # convergence is exact on the pointer payload only
-                    diff = (
-                        new[0][halo:halo + bx, halo:halo + by, :]
-                        != vals[0][halo:halo + bx, halo:halo + by, :]
-                    )
-                    changed = jnp.max(
-                        jnp.where(diff, jnp.int32(1), jnp.int32(0)))
-                else:
-                    # replay mode: fixed pass count (label payloads can
-                    # stall mid-chain and would falsely early-exit)
-                    changed = jnp.int32(1)
+                new = jnp.where(ring, vals0, new)
+                diff = (
+                    new[halo:halo + bx, halo:halo + by, :]
+                    != vals[halo:halo + bx, halo:halo + by, :]
+                )
+                changed = jnp.max(
+                    jnp.where(diff, jnp.int32(1), jnp.int32(0)))
                 return (t + jnp.int32(1), changed,
                         jnp.maximum(any_changed, changed), new)
 
@@ -215,11 +194,7 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
                 cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0),
                              vals0)
             )
-            if not early_exit:
-                any_changed = jnp.int32(0)
-                last_changed = jnp.int32(0)
-            for m in range(n_payloads):
-                out_refs[m][:] = vals[m][halo:halo + bx, halo:halo + by, :]
+            out_ref[:] = vals[halo:halo + bx, halo:halo + by, :]
             # 2-bit status: bit1 = output changed this sweep (neighbours
             # must re-run to see the new halo), bit0 = not locally
             # converged (this block itself must re-run).  A block that
@@ -232,64 +207,55 @@ def _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=1, early_exit=True):
     return kernel, rx, ry
 
 
-@partial(jax.jit, static_argnames=("bx", "by", "halo", "early_exit"))
-def chase_sweep(a, bk, flags, bx, by, halo, early_exit=True):
-    """One haloed multi-pass sweep over the grid (pointer payload only)."""
-    (out,), done = _chase_sweep_multi((a,), bk, flags, bx, by, halo,
-                                      early_exit)
-    return out, done
-
-
-def _chase_sweep_multi(payloads, bk, flags, bx, by, halo, early_exit=True):
-    """Shared driver: payloads is a tuple of int32 grids (pointers first).
+@partial(jax.jit, static_argnames=("bx", "by", "halo", "max_passes"))
+def chase_sweep(a, bk, flags, bx, by, halo, max_passes=0):
+    """One haloed multi-pass sweep over the grid.
 
     args:
+        a: (nx,ny,nz) int32 values (pointer compositions or flood labels).
         bk: (nx,ny,nz) uint8 step codes.
         flags: (gx*gy,) int32; blocks with flag 0 are copied through
                untouched and report done.
-    returns (payload outputs tuple, done block map (gx*8, gy*128) int32,
-    sliced [::8, ::128] for the per-block value).
+        max_passes: in-block pass budget per sweep; 0 means 4*halo.
+    returns (new values, done block map (gx*8, gy*128) int32, sliced
+    [::8, ::128] for the per-block 2-bit status).
     """
-    m = len(payloads)
-    nx, ny, nz = payloads[0].shape
-    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo, n_payloads=m,
-                                  early_exit=early_exit)
+    nx, ny, nz = a.shape
+    if max_passes == 0:
+        max_passes = 4 * halo
+    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo, max_passes)
     grid = (nx // bx, ny // by)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (m + 1),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=(
-            tuple(
-                pl.BlockSpec((bx, by, nz), lambda i, j, *_: (i, j, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(m)
-            )
-            + (pl.BlockSpec((8, 128), lambda i, j, *_: (i, j),
-                            memory_space=pltpu.VMEM),)
+            pl.BlockSpec((bx, by, nz), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((rx, ry, nz), jnp.int32)] * m + [
+        scratch_shapes=[
+            pltpu.VMEM((rx, ry, nz), jnp.int32),
             pltpu.VMEM((rx, ry, nz), jnp.uint8),
             pltpu.VMEM((rx, ry, nz), jnp.int32),
-            pltpu.SemaphoreType.DMA((9 * (m + 1),)),
+            pltpu.SemaphoreType.DMA((18,)),
         ],
     )
-    outs = pl.pallas_call(
+    out, done = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            tuple(jax.ShapeDtypeStruct((nx, ny, nz), jnp.int32)
-                  for _ in range(m))
-            + (jax.ShapeDtypeStruct(
-                (grid[0] * 8, grid[1] * 128), jnp.int32),)
+            jax.ShapeDtypeStruct((nx, ny, nz), jnp.int32),
+            jax.ShapeDtypeStruct((grid[0] * 8, grid[1] * 128), jnp.int32),
         ),
         # v5e has 128 MiB of VMEM; the default Mosaic budget is far smaller
         # and rejects the (16,16,8) config at nz=512
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(flags, *payloads, bk)
-    return outs[:m], outs[m]
+    )(flags, a, bk)
+    return out, done
 
 
 def _dilate_blocks(notdone):
@@ -359,18 +325,47 @@ def _block_can_change(best_k, bx, by):
     return jnp.any(nonself, axis=(1, 3, 4))
 
 
-def _run_chase(parent, best_k, bx, by, h, max_sweeps):
-    nx, ny, nz = parent.shape
-    a = parent
+@partial(jax.jit, static_argnames=("bx", "by"))
+def _block_any(mask, bx, by):
+    """(gx, gy) bool: block contains any True voxel."""
+    nx, ny, nz = mask.shape
+    return jnp.any(mask.reshape(nx // bx, bx, ny // by, by, nz),
+                   axis=(1, 3, 4))
+
+
+def _run_chase(a, best_k, bx, by, h, max_sweeps, init_active=None,
+               progress=None, max_passes=0):
+    """Host-driven sweep loop, software-pipelined against the tunnel.
+
+    Each iteration speculatively dispatches the next sweep *before*
+    fetching the previous sweep's convergence scalar, so the ~15-20 ms
+    device round-trip rides under real kernel time instead of serialising
+    the sweeps.  The one speculative sweep dispatched after convergence
+    runs with all-zero flags (pure block copy-through, ~1 ms).
+
+    args:
+        init_active: optional (gx, gy) bool of blocks that can produce a
+            change in sweep 1 (flood seeding: only blocks with a maximum
+            in their 3x3 neighbourhood); default all can_change blocks.
+        progress: optional callback(sweep_index, active_block_count).
+    """
     can_change = _block_can_change(best_k, bx, by)
-    flags = can_change.reshape(-1).astype(jnp.int32)
+    active0 = can_change if init_active is None else (
+        init_active & can_change)
+    flags = active0.reshape(-1).astype(jnp.int32)
     if not bool(jnp.any(flags)):
         return a
-    for _ in range(max_sweeps):
-        a, done = chase_sweep(a, best_k, flags, bx, by, h)
+    a, done = chase_sweep(a, best_k, flags, bx, by, h, max_passes)
+    for s in range(max_sweeps):
         flags, any_active = _next_flags(done, can_change)
+        a2, done2 = chase_sweep(a, best_k, flags, bx, by, h,
+                                max_passes)  # speculative
+        if progress is not None:
+            progress(s, int(jnp.sum(done[::8, ::128] > 0)))
         if not bool(any_active):
-            break
+            # the speculative sweep was all copy-through: a2 == a
+            return a2
+        a, done = a2, done2
     return a
 
 
@@ -402,13 +397,20 @@ def _try_configs(configs, shape, run):
     raise last_err
 
 
-def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
-                         block_target: int = 16, halo: int = 8):
-    """Resolve ascent pointers to roots using the Pallas chase kernel.
+def _configs_for(shape, block_target=16, halo=8):
+    """Measured-on-v5e config ladder: fine blocks win at <=384^3 (skip-flag
+    granularity), bigger blocks at 512^3 (halo redundancy dominates)."""
+    nx, ny, nz = shape
+    if nx * ny * nz >= 512 ** 3:
+        return ((64, 32, 8), (32, 32, 8), (16, 16, 8), (16, 8, 8),
+                (8, 8, 8))
+    return ((block_target, block_target, halo), (16, 8, 8), (8, 8, 8))
 
-    Host-driven sweep loop (a lax.while_loop driver measured ~4x slower on
-    the v5e, likely defeating buffer donation across sweeps).  Falls back to
-    smaller halos/blocks if a configuration exceeds VMEM.
+
+def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
+                         block_target: int = 16, halo: int = 8,
+                         progress=None):
+    """Resolve ascent pointers to roots using the Pallas chase kernel.
 
     args:
         parent: (nx,ny,nz) int32 one-step ascent pointers (flat indices).
@@ -416,65 +418,60 @@ def resolve_roots_pallas(parent, best_k, max_sweeps: int = 4096,
     returns:
         (nx,ny,nz) int32 roots.
     """
-    nx, ny, nz = parent.shape
-
     # trace under 32-bit mode: the kernel is all-explicit 32-bit, and x64
     # tracing leaks i64 scalars Mosaic cannot legalize
     with jax.enable_x64(False):
-        # halo and blocks must stay multiples of 8 (DMA tile alignment);
-        # measured on v5e: fine blocks win at <=384^3 (skip-flag granularity)
-        # while bigger blocks win at 512^3 (halo redundancy dominates)
-        if nx * ny * nz >= 512 ** 3:
-            configs = ((64, 32, 8), (32, 32, 8), (16, 16, 8),
-                       (16, 8, 8), (8, 8, 8))
-        else:
-            configs = ((block_target, block_target, halo),
-                       (16, 8, 8), (8, 8, 8))
         return _try_configs(
-            configs, parent.shape,
+            _configs_for(parent.shape, block_target, halo), parent.shape,
             lambda bx, by, h: _run_chase(parent, best_k, bx, by, h,
-                                         max_sweeps),
+                                         max_sweeps, progress=progress),
         )
 
 
-TAG = jnp.int32(1 << 28)  # flat indices < 2^27 (512^3), labels < 2^27
-
-
 @partial(jax.jit, static_argnames=("has_vacuum",))
-def _oneshot_seed(best_k, vacuum, has_vacuum):
-    """Fused seed construction: one program, minimal live intermediates."""
+def _flood_seed(best_k, vacuum, has_vacuum):
+    """Flood-seed values: 0 unlabeled, k in [1..M] basin k-1, M+1 vacuum.
+
+    Labels are 1-based ranks of the maxima in ascending flat-index order
+    (blocked cumsum), so the decoded labels match the pointer-doubling
+    reference ordering exactly (tpu_tests/test_tpu_kernels.py).
+    """
     from pybader_tpu.ops.reductions import cumsum_blocked
 
     shape = best_k.shape
-    nx, ny, nz = shape
     is_self = best_k == jnp.uint8(13)
     is_max = (is_self & ~vacuum) if has_vacuum else is_self
     flat_max = is_max.reshape(-1)
-    ranks = (cumsum_blocked(flat_max.astype(jnp.int32)) - 1).reshape(shape)
+    ranks = cumsum_blocked(flat_max.astype(jnp.int32)).reshape(shape)
     n_maxima = jnp.sum(flat_max.astype(jnp.int32))
-    x = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    y = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    z = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    self_idx = (x * ny + y) * nz + z
-    seed = jnp.where(is_max, TAG | ranks, self_idx)
+    seed = jnp.where(is_max, ranks, jnp.int32(0))
     if has_vacuum:
-        seed = jnp.where(vacuum, TAG | n_maxima, seed)
-    return seed, n_maxima
+        seed = jnp.where(vacuum, n_maxima + jnp.int32(1), seed)
+    return seed, is_max, n_maxima
 
 
-def labels_oneshot(best_k, vacuum=None, **kw):
-    """Dense basin labels in ONE chase: seed maxima, propagate downhill.
+@jax.jit
+def _flood_decode(out, n_max_dev):
+    """Flooded values -> final labels (0-based, vacuum -1)."""
+    labels = out - jnp.int32(1)
+    return jnp.where(labels == n_max_dev, jnp.int32(-1), labels)
 
-    The chase kernel moves *values* along the static bk-coded parent edges,
-    so seeding maxima with tag-bit-marked label ids and every other voxel
-    with its own flat index converges each voxel to its root's label.  The
-    tag bit keeps pre-arrival values (injective pointer compositions) and
-    labels in disjoint ranges, so the kernel's exact convergence test still
-    holds, and a label front adjacent to any block forces a change there —
-    no block can stall undone.
+
+def labels_oneshot(best_k, vacuum=None, progress=None, block_target=16,
+                   max_passes=0):
+    """Dense basin labels in ONE chase: seed maxima, flood downhill.
+
+    The chase kernel moves *values* along the static bk-coded parent
+    edges; seeding each maximum with its 1-based label and every other
+    voxel with 0 converges every voxel to its root's label (each voxel's
+    chain reaches exactly one root, so the first non-zero value delivered
+    is correct; values change at most once, making stale halos safe).
+    Compared to the earlier pointer-composition seeding, unlabeled regions
+    cost one no-op pass instead of dozens of composition passes, and the
+    initial active set shrinks to the blocks neighbouring a maximum.
 
     Labels are numbered by maximum flat index (ascending).  Vacuum voxels
-    (self-step) keep a sentinel and come back as -1.
+    (self-step) carry sentinel M+1 through the flood and come back as -1.
 
     returns (labels int32 grid, n_maxima int).
     """
@@ -482,21 +479,18 @@ def labels_oneshot(best_k, vacuum=None, **kw):
     with jax.enable_x64(False):
         has_vac = vacuum is not None
         # best_k doubles as an (unused, DCE'd) dummy when there is no vacuum
-        seed, n_max_dev = _oneshot_seed(
+        seed, is_max, n_max_dev = _flood_seed(
             best_k, vacuum if has_vac else best_k, has_vac,
         )
+
+        def run(bx, by, h):
+            init = _dilate_blocks(_block_any(is_max, bx, by))
+            return _run_chase(seed, best_k, bx, by, h, 4096,
+                              init_active=init, progress=progress,
+                              max_passes=max_passes)
+
+        out = _try_configs(_configs_for(shape, block_target), shape, run)
+        labels = _flood_decode(out, n_max_dev)
+        # fetch the count only now: the transfer overlapped the sweeps
         n_maxima = int(n_max_dev)
-        sentinel = jnp.int32(n_maxima)
-        nx_, ny_, nz_ = shape
-        if nx_ * ny_ * nz_ >= 512 ** 3:
-            configs = ((64, 32, 8), (32, 32, 8), (16, 16, 8),
-                       (16, 8, 8), (8, 8, 8))
-        else:
-            configs = ((16, 16, 8), (16, 8, 8), (8, 8, 8))
-        out = _try_configs(
-            configs, shape,
-            lambda bx, by, h: _run_chase(seed, best_k, bx, by, h, 4096),
-        )
-        labels = out & (TAG - 1)
-        labels = jnp.where(labels == sentinel, jnp.int32(-1), labels)
     return labels, n_maxima

@@ -120,16 +120,14 @@ def sharded_step(mesh: Mesh, density, weights):
     return fn(density, tuple(weights))
 
 
-TAG = jnp.int32(1 << 28)  # matches ops/pallas_chase.TAG
+def _seed_local(bk_loc, vac_loc, spec, mesh, has_vacuum):
+    """Per-device flood-seed (runs inside shard_map).
 
-
-def _seed_local(bk_loc, vac_loc, iota_loc, spec, mesh, has_vacuum):
-    """Per-device one-shot label seed (runs inside shard_map).
-
-    Maxima are seeded with TAG|rank (rank = device-linear order + local
-    C-order position — any consistent numbering, fixed up afterwards by the
-    discovery-order renumber), everything else with its own global flat
-    index, vacuum with the TAG|n_maxima sentinel.
+    Maxima are seeded with a 1-based label rank (device-linear order +
+    local C-order position — any consistent numbering, fixed up afterwards
+    by the discovery-order renumber), everything else with 0, vacuum with
+    the n_maxima+1 sentinel — the flooding semantics of
+    ops/pallas_chase.labels_oneshot, lifted to the mesh.
     """
     is_self = bk_loc == jnp.uint8(13)
     is_max = (is_self & ~vac_loc) if has_vacuum else is_self
@@ -155,11 +153,11 @@ def _seed_local(bk_loc, vac_loc, iota_loc, spec, mesh, has_vacuum):
     else:  # fully replicated grid
         offset = jnp.int32(0)
         n_max = cnt
-    ranks = (offset + jnp.cumsum(flat_max.astype(jnp.int32)) - 1
+    ranks = (offset + jnp.cumsum(flat_max.astype(jnp.int32))
              ).reshape(bk_loc.shape)
-    seed = jnp.where(is_max, TAG | ranks, iota_loc)
+    seed = jnp.where(is_max, ranks, jnp.int32(0))
     if has_vacuum:
-        seed = jnp.where(vac_loc, TAG | n_max, seed)
+        seed = jnp.where(vac_loc, n_max + jnp.int32(1), seed)
     return seed, n_max
 
 
@@ -192,22 +190,22 @@ def sharded_partition(mesh: Mesh, reference, vacuum, weights,
         bk = jnp.where(vac, jnp.uint8(13), bk)
 
     n = int(np.prod(shape))
+    has_vac = vac is not None
+    seed_fn = jax.jit(jax.shard_map(
+        lambda b, v: _seed_local(b, v, spec, mesh, has_vac),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, P()),
+    ))
+    seed, n_max_dev = seed_fn(bk, vac if has_vac else bk != bk)
+    n_max = max(int(n_max_dev), 1)
+
+    out = sharded_chase(mesh, seed, bk, spec)
+    labels_mo = out - jnp.int32(1)
+    labels_mo = jnp.where(labels_mo == jnp.int32(n_max),
+                          jnp.int32(-1), labels_mo)
     iota = jax.jit(
         lambda: jnp.arange(n, dtype=jnp.int32).reshape(shape),
         out_shardings=sharding,
     )()
-    has_vac = vac is not None
-    seed_fn = jax.jit(jax.shard_map(
-        lambda b, v, i: _seed_local(b, v, i, spec, mesh, has_vac),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=(spec, P()),
-    ))
-    seed, n_max_dev = seed_fn(bk, vac if has_vac else bk != bk, iota)
-    n_max = max(int(n_max_dev), 1)
-
-    out = sharded_chase(mesh, seed, bk, spec)
-    labels_mo = out & (TAG - 1)
-    labels_mo = jnp.where(labels_mo == jnp.int32(n_max),
-                          jnp.int32(-1), labels_mo)
     return pipeline.renumber_discovery(labels_mo, bk, vac, n_max, iota)

@@ -218,7 +218,7 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     for lo in range(0, len(starts_all), batch):
         chunk = starts_all[lo:lo + batch]
         padded = neargrid_ops.pad_starts(chunk)
-        pos, done = neargrid_ops.walk(
+        pos, done = neargrid_ops.walk_drain(
             jnp.asarray(padded), rho_flat, parent_flat, stop_flat, t_grad,
             shape, strict_grad=False,
         )
@@ -236,7 +236,7 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
 
 
 def refine_labels(method: str, refine_mode, reference, labels, weights,
-                  t_grad, verbose: bool = True, mesh=None):
+                  t_grad, verbose: bool = True, mesh=None, stats=None):
     """Iterative neargrid edge refinement to (or towards) a fixed point.
 
     Mirrors reference thread_handlers.refine (:128-236): iteration 1 walks
@@ -245,6 +245,11 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     stopping after ``iters`` iterations or when nothing changes (iters < 0
     means run to convergence).  Unknown methods are silently skipped, like
     the reference (thread_handlers.py:140-143).
+
+    ``stats``, if a dict, receives ``stats['iterations']`` — a list of
+    (edges_walked, changed, step_cap_fires) per iteration, so production
+    runs and the bench can record how often the walker's documented
+    cap-and-resolve approximation actually fires.
 
     With a ``mesh``, the full-grid stencil stages (edge_find/edge_check and
     the ascent stencil) run sharded over the mesh (rolls -> halo
@@ -298,6 +303,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
 
     known = edges_ops.edge_find(reference, labels, is_max)
     total_changed = 0
+    if stats is not None:
+        stats["iterations"] = []
     it = 0
     starts_small = None  # small candidate list from the 'changed' fast path
     while it < max_iters:
@@ -331,7 +338,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         # cap trajectories: period>2 cycles escape the walker's revisit
         # detection and would otherwise spin to the global cap; stragglers
         # resolve through their ongrid root below
-        pos, done = neargrid_ops.walk(
+        walk_fn = neargrid_ops.walk if multi else neargrid_ops.walk_drain
+        pos, done = walk_fn(
             padded, rho_flat, parent_flat, stop_flat, t_grad, shape,
             strict_grad=True, max_steps=192,
         )
@@ -358,6 +366,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         changed = int(jnp.sum(changed_mask))
         total_changed += changed
         labels = labels_flat.at[starts_dev].set(new_lab).reshape(shape)
+        if stats is not None:
+            stats["iterations"].append((n_edges, changed, n_capped))
         if verbose:
             print(f"  {changed} points changed.")
         if changed == 0:
