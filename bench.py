@@ -5,8 +5,8 @@ Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Headline workload (matches the BASELINE.md north star): the PRODUCT ongrid
-partition path at 384^3 — `pipeline.partition_ongrid` end-to-end (vacuum
-mask, dd-Pallas ascent stencil, one-shot Pallas flood chase, discovery-order
+partition path at 384^3 — `pipeline.partition_ongrid` end-to-end (dd-Pallas
+ascent stencil, directional-scan label flooding, discovery-order
 renumbering) plus per-basin charge/volume sums.  stderr detail adds 512^3
 and the DEFAULT config pipeline (method=neargrid via the documented hybrid,
 refine_mode=('changed', 2), maxima->atom assignment, surface distance) —
@@ -15,20 +15,20 @@ iteration statistics (edges walked / changed / step-cap fires).
 
 Budget discipline (the round-2 artifact timed out): each size runs ONE
 subprocess covering both workloads (sharing the density and stencil
-compiles), the synthetic density is generated ON DEVICE (a 384^3 host FFT
-plus grid upload through the tunnel costs minutes; the device FFT is
-milliseconds), the headline JSON prints the moment the first workload
+compiles), the synthetic density is generated ON DEVICE via separable
+circulant matmuls (a 384^3 host FFT plus grid upload through the tunnel
+costs minutes; the MXU matmuls are milliseconds), the headline JSON prints the moment the first workload
 reports, and every subprocess runs under its own timeout so a hang cannot
 eat the driver budget.
 
 vs_baseline: ratio to the reference CPU implementation's ongrid phase,
 anchored by a MEASURED number: native/serial_baseline.cpp (clean-room
 serial implementation of the reference's ongrid kernel semantics,
-methods.py:15-219) is timed on this host at 96^3 during the run and scaled
-by an assumed linear 8-thread speedup (the reference's default thread
-count; generous to the reference).  See BASELINE.md for the methodology
-and recorded anchors.  Falls back to the documented 2.6 Mvox/s/core dev-VM
-measurement if the toolchain is unavailable.
+methods.py:15-219) is timed on this host at ANCHOR_SIZE^3 on the same
+dense field and scaled by an assumed linear 8-thread speedup (the
+reference's default thread count; generous to the reference).  See
+BASELINE.md for the methodology and recorded anchors.  Falls back to the
+documented dev-VM measurement if the toolchain is unavailable.
 """
 import json
 import os
@@ -39,10 +39,10 @@ import time
 import numpy as np
 
 REFERENCE_THREADS = 8
-# measured on the round-3 dev VM (1 core, dense field, no vacuum):
-# 7.1/6.5/6.0 Mvox/s at 128/192/384 cubed (BASELINE.md) — the fallback
-# when the bench host can't build the serial baseline in-run
-FALLBACK_SERIAL_VOX_PER_SEC = 6.0e6
+# measured on the round-3 dev VM (1 core, dense bg_amp=10 field, no
+# vacuum): 7.5/4.7/4.4 Mvox/s at 128/192/384 cubed (BASELINE.md) — the
+# fallback when the bench host can't build the serial baseline in-run
+FALLBACK_SERIAL_VOX_PER_SEC = 4.5e6
 ANCHOR_SIZE = 192  # serial anchor grid (FFT+walk ~40 s once, then cached)
 
 
@@ -58,7 +58,7 @@ def _blob_filter(shape, blur, bg_amp, bg_blur):
 
 
 def synthetic_density(shape, n_blobs=60, seed=1, blur=400.0,
-                      bg_amp=0.1, bg_blur=40000.0, return_centers=False):
+                      bg_amp=10.0, bg_blur=40000.0, return_centers=False):
     """Dense periodic blob field, a stand-in for a bulk-solid CHGCAR.
 
     Sharp gaussian blobs (atomic peaks) ride on a broad smooth background
@@ -84,15 +84,25 @@ def synthetic_density(shape, n_blobs=60, seed=1, blur=400.0,
     return rho
 
 
+def _circulant_gauss(n, blur):
+    """(n, n) circulant periodic-gaussian blur matrix (host f64)."""
+    k = np.fft.fftfreq(n)
+    g = np.real(np.fft.ifft(np.exp(-k * k * blur)))  # kernel row
+    i = np.arange(n)
+    return g[(i[:, None] - i[None, :]) % n]
+
+
 def synthetic_density_device(shape, n_blobs=60, seed=1, blur=400.0,
-                             bg_amp=0.1, bg_blur=40000.0):
+                             bg_amp=10.0, bg_blur=40000.0):
     """Device-side f64 blob field (same construction as synthetic_density).
 
-    The impulses and the spectral filter are exact f64 host values; the FFT
-    pair runs on device in complex64 (TPU has no f64 FFT), then the field is
-    cast to f64.  The ~1e-6-relative spectral noise vs the host version
-    shifts a few basin-edge voxels but not the workload character (the
-    smooth background dominates it everywhere).
+    The TPU backend has no complex FFT, but the periodic gaussian blur is
+    separable: three circulant matmuls per blur scale, f32 on the MXU
+    (milliseconds at 384^3 vs minutes for the host FFT + grid upload).
+    f32 arithmetic noise is ~5 orders of magnitude below the interstitial
+    background level at bg_amp=10, so the field keeps the same basin
+    structure as the host version (checked: identical maxima counts under
+    f32 quantization at 128^3/192^3).
     returns (rho device f64 array, centers fractional (n_blobs, 3)).
     """
     import jax.numpy as jnp
@@ -100,13 +110,25 @@ def synthetic_density_device(shape, n_blobs=60, seed=1, blur=400.0,
     rng = np.random.default_rng(seed)
     idx = tuple(rng.integers(0, s, size=n_blobs) for s in shape)
     vals = rng.uniform(1.0, 3.0, size=n_blobs)
-    filt = jnp.asarray(_blob_filter(shape, blur, bg_amp, bg_blur),
-                       dtype=jnp.complex64)
     flat_idx = np.ravel_multi_index(idx, shape)
     imp = jnp.zeros(int(np.prod(shape)), jnp.float32).at[
-        jnp.asarray(flat_idx)].add(jnp.asarray(vals, jnp.float32))
-    rho = jnp.real(jnp.fft.ifftn(
-        jnp.fft.fftn(imp.reshape(shape).astype(jnp.complex64)) * filt))
+        jnp.asarray(flat_idx)].add(
+        jnp.asarray(vals, jnp.float32)).reshape(shape)
+
+    def blur_sep(a, b):
+        cs = [jnp.asarray(_circulant_gauss(s, b), jnp.float32)
+              for s in shape]
+        # precision='highest': TPU matmuls default to bf16 inputs, whose
+        # ~8-bit mantissa drowns the interstitial background in noise
+        # (measured: 529 spurious maxima at 128^3 instead of ~55)
+        a = jnp.einsum("ai,iyz->ayz", cs[0], a, precision="highest",
+                       preferred_element_type=jnp.float32)
+        a = jnp.einsum("bj,ajz->abz", cs[1], a, precision="highest",
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("ck,abk->abc", cs[2], a, precision="highest",
+                          preferred_element_type=jnp.float32)
+
+    rho = blur_sep(imp, blur) + jnp.float32(bg_amp) * blur_sep(imp, bg_blur)
     rho = (rho - jnp.min(rho) + 1e-9).astype(jnp.float64)
     centers = np.stack(idx, axis=1) / np.asarray(shape)
     return rho, centers
@@ -145,7 +167,7 @@ def measured_baseline():
 
     cache_file = os.path.expanduser(
         "~/.cache/bader-tpu/serial_anchor.json")
-    key = f"dense-{ANCHOR_SIZE}-seed1-v1"
+    key = f"dense-{ANCHOR_SIZE}-seed1-v2"
     try:
         with open(cache_file) as f:
             cached = json.load(f)

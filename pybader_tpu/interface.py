@@ -39,17 +39,30 @@ import jax.numpy as jnp
 
 @contextmanager
 def _stage(name, multiline=False):
-    """Stage header + wall-clock print (reference's per-stage progress
-    analog, utils.py:107-142 — device stages are single jitted programs so a
-    polling counter has nothing to poll; the timer is the observable)."""
+    """Stage header + wall-clock print + live tick line.
+
+    Yields a ``tick(msg)`` callable: the host-driven device loops (flood
+    rounds, walker segments, refinement iterations) call it with short
+    status strings that overwrite a single console line — the TPU analog
+    of the reference's counter-polling tqdm thread (utils.py:107-142,
+    thread_handlers.py:53-58); here the host loop IS the poller.
+    """
     if multiline:
         print(f"  {name}:")
     else:
         print(f"  {name}: ", end="", flush=True)
     t0 = perf_counter()
-    yield
+    state = {"ticked": False}
+
+    def tick(msg):
+        state["ticked"] = True
+        print(f"\r  {name}: {msg}" + " " * 12, end="", flush=True)
+
+    yield tick
     dt = perf_counter() - t0
-    if multiline:
+    if state["ticked"]:
+        print(f"\r  {name}: done in {dt:.3f}s" + " " * 40)
+    elif multiline:
         print(f"  {name} done in {dt:.3f}s")
     else:
         print(f"done in {dt:.3f}s")
@@ -452,15 +465,16 @@ class Bader:
         vols = np.asarray(self.bader_volumes)
         if (vols == -1).any():
             vacuum = vols == -1
-        with _stage("Calculating Bader volumes"):
+        with _stage("Calculating Bader volumes") as tick:
             if self.method == 'ongrid':
                 labels, maxima = pipeline.partition_ongrid(
-                    self.reference, vacuum, weights, mesh=self.mesh
+                    self.reference, vacuum, weights, mesh=self.mesh,
+                    progress=tick
                 )
             elif self.method == 'neargrid':
                 labels, maxima = pipeline.partition_neargrid(
                     self.reference, vacuum, weights, self.T_grad,
-                    mesh=self.mesh
+                    mesh=self.mesh, progress=tick
                 )
             else:
                 raise ValueError(f"Unknown method: {self.method}")
@@ -479,19 +493,26 @@ class Bader:
             self.bader_atoms = np.asarray(atom_idx)
             self.bader_distance = np.asarray(dist)
             swap = jnp.asarray(self.bader_atoms, dtype=jnp.int32)
-            atoms_vols = reductions.relabel(
-                jnp.asarray(self.bader_volumes, dtype=jnp.int32), swap
-            )
+            if self._multi_mesh():
+                from pybader_tpu.parallel.analysis import sharded_relabel
+
+                atoms_vols = sharded_relabel(
+                    self.mesh, self.bader_volumes, swap)
+            else:
+                atoms_vols = reductions.relabel(
+                    jnp.asarray(self.bader_volumes, dtype=jnp.int32), swap
+                )
             dtype = dtype_calc(-max(int(self.atoms.shape[0]), 1))
             self.atoms_volumes = np.asarray(atoms_vols).astype(dtype)
 
     def refine_volumes(self, volumes):
         """Refine edges of the given label map in place."""
         labels = jnp.asarray(np.asarray(volumes), dtype=jnp.int32)
-        with _stage("Refining volume edges", multiline=True):
+        with _stage("Refining volume edges", multiline=True) as tick:
             refined, _ = pipeline.refine_labels(
                 self.refine_method, self.refine_mode, self.reference, labels,
                 tuple(self.distance_weights), self.T_grad, mesh=self.mesh,
+                progress=tick,
             )
             np.copyto(volumes, np.asarray(refined).astype(volumes.dtype))
 
@@ -505,22 +526,49 @@ class Bader:
             n = self.atoms.shape[0]
             labels = self.atoms_volumes
             prefix = 'atoms'
-        labels_dev = jnp.asarray(np.asarray(labels), dtype=jnp.int32)
         with _stage(f"Integrating {prefix} charges"):
-            charge, volume = reductions.charge_volume_sum(
-                jnp.asarray(self.density), labels_dev, self.voxel_volume, n
-            )
+            if self._multi_mesh():
+                from pybader_tpu.parallel.analysis import (
+                    sharded_charge_volume_sum,
+                )
+
+                def sums(density):
+                    return sharded_charge_volume_sum(
+                        self.mesh, density, labels, self.voxel_volume, n)
+            else:
+                labels_dev = jnp.asarray(np.asarray(labels),
+                                         dtype=jnp.int32)
+
+                def sums(density):
+                    return reductions.charge_volume_sum(
+                        jnp.asarray(density), labels_dev,
+                        self.voxel_volume, n)
+
+            charge, volume = sums(self.density)
             setattr(self, f'{prefix}_charge', np.asarray(charge))
             setattr(self, f'{prefix}_volume', np.asarray(volume))
             if self.spin_bool:
-                spin, _ = reductions.charge_volume_sum(
-                    jnp.asarray(self.spin), labels_dev, self.voxel_volume, n
-                )
+                spin, _ = sums(self.spin)
                 setattr(self, f'{prefix}_spin', np.asarray(spin))
+
+    def _multi_mesh(self):
+        return (self.mesh is not None
+                and len(self.mesh.devices.reshape(-1)) > 1)
 
     def min_surface_distance(self):
         """Minimum distance from each atom to its Bader-volume surface."""
         atoms = self.atoms - self.voxel_offset
+        if self._multi_mesh():
+            from pybader_tpu.parallel.analysis import (
+                sharded_min_surface_distance,
+            )
+
+            with _stage("Calculating min. surface distance"):
+                dist = sharded_min_surface_distance(
+                    self.mesh, self.reference, self.atoms_volumes,
+                    self.lattice, atoms, int(self.atoms.shape[0]))
+                self.atoms_surface_distance = np.asarray(dist)
+            return
         labels = jnp.asarray(np.asarray(self.atoms_volumes), dtype=jnp.int32)
         with _stage("Calculating min. surface distance"):
             known = edges_ops.edge_find(jnp.asarray(self.reference), labels)

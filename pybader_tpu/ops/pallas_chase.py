@@ -56,30 +56,51 @@ def _pick_block(n: int, target: int) -> int:
     return n
 
 
-def _make_kernel(nx, ny, nz, bx, by, halo, max_passes):
-    """Single-payload chase kernel factory."""
+def _make_kernel(nx, ny, nz, bx, by, halo, max_passes, alias=False,
+                 reverse=False):
+    """Single-payload chase kernel factory.
+
+    ``alias``: the payload output aliases the input buffer (in-place
+    sweep).  Inactive blocks then write nothing (their data is already in
+    place), and active blocks DMA their result back into the same HBM
+    buffer — so blocks later in the grid order read *fresh* halo values
+    from earlier blocks (Gauss-Seidel instead of Jacobi), which is safe
+    for both value semantics (monotone / strictly-advancing), and the
+    copy-through bandwidth of sleepy sweeps disappears.
+
+    ``reverse``: iterate tiles in descending order, so fronts that
+    propagate against the grid order also collapse within one sweep when
+    alternated (forward, backward, forward, ...).
+    """
     rx = bx + 2 * halo
     ry = by + 2 * halo
 
     def kernel(flags_ref, p_any, bk_any, out_ref, done_ref,
-               p_loc, bk_loc, bk32_loc, sems):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
+               p_loc, bk_loc, bk32_loc, out_blk, sems):
+        gi = pl.program_id(0)
+        gj = pl.program_id(1)
+        gx = pl.num_programs(0)
         gy = pl.num_programs(1)
+        if reverse:
+            i = gx - 1 - gi
+            j = gy - 1 - gj
+        else:
+            i, j = gi, gj
         active = flags_ref[i * gy + j] > jnp.int32(0)
         x0 = i * np.int32(bx)
         y0 = j * np.int32(by)
 
         @pl.when(jnp.logical_not(active))
         def _copy_through():
-            cp = pltpu.make_async_copy(
-                p_any.at[pl.ds(pl.multiple_of(x0, 8), bx),
-                         pl.ds(pl.multiple_of(y0, 8), by), :],
-                out_ref,
-                sems.at[jnp.int32(0)],
-            )
-            cp.start()
-            cp.wait()
+            if not alias:
+                cp = pltpu.make_async_copy(
+                    p_any.at[pl.ds(pl.multiple_of(x0, 8), bx),
+                             pl.ds(pl.multiple_of(y0, 8), by), :],
+                    out_ref,
+                    sems.at[jnp.int32(0)],
+                )
+                cp.start()
+                cp.wait()
             # status 0: converged, output unchanged (see the work branch)
             done_ref[:] = jnp.zeros((8, 128), dtype=jnp.int32)
 
@@ -194,7 +215,22 @@ def _make_kernel(nx, ny, nz, bx, by, halo, max_passes):
                 cond, body, (jnp.int32(0), jnp.int32(1), jnp.int32(0),
                              vals0)
             )
-            out_ref[:] = vals[halo:halo + bx, halo:halo + by, :]
+            if alias:
+                # write back in place; wait before the block ends so the
+                # next tile's halo load observes it (and a mid-flight read
+                # would be harmless anyway: both old and new values are
+                # valid under the monotone/advancing semantics)
+                out_blk[:] = vals[halo:halo + bx, halo:halo + by, :]
+                cp = pltpu.make_async_copy(
+                    out_blk,
+                    out_ref.at[pl.ds(pl.multiple_of(x0, 8), bx),
+                               pl.ds(pl.multiple_of(y0, 8), by), :],
+                    sems.at[jnp.int32(0)],
+                )
+                cp.start()
+                cp.wait()
+            else:
+                out_ref[:] = vals[halo:halo + bx, halo:halo + by, :]
             # 2-bit status: bit1 = output changed this sweep (neighbours
             # must re-run to see the new halo), bit0 = not locally
             # converged (this block itself must re-run).  A block that
@@ -207,38 +243,50 @@ def _make_kernel(nx, ny, nz, bx, by, halo, max_passes):
     return kernel, rx, ry
 
 
-@partial(jax.jit, static_argnames=("bx", "by", "halo", "max_passes"))
-def chase_sweep(a, bk, flags, bx, by, halo, max_passes=0):
+def _chase_sweep_impl(a, bk, flags, bx, by, halo, max_passes=0,
+                      alias=False, reverse=False):
     """One haloed multi-pass sweep over the grid.
 
     args:
         a: (nx,ny,nz) int32 values (pointer compositions or flood labels).
         bk: (nx,ny,nz) uint8 step codes.
         flags: (gx*gy,) int32; blocks with flag 0 are copied through
-               untouched and report done.
+               untouched (alias: left in place) and report done.
         max_passes: in-block pass budget per sweep; 0 means 4*halo.
+        alias / reverse: see :func:`_make_kernel`.
     returns (new values, done block map (gx*8, gy*128) int32, sliced
     [::8, ::128] for the per-block 2-bit status).
     """
     nx, ny, nz = a.shape
     if max_passes == 0:
         max_passes = 4 * halo
-    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo, max_passes)
+    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo, max_passes,
+                                  alias, reverse)
     grid = (nx // bx, ny // by)
+    if reverse:
+        done_map = lambda i, j, *_: (grid[0] - 1 - i, grid[1] - 1 - j)  # noqa: E731,E501
+        out_map = lambda i, j, *_: (grid[0] - 1 - i, grid[1] - 1 - j, 0)  # noqa: E731,E501
+    else:
+        done_map = lambda i, j, *_: (i, j)  # noqa: E731
+        out_map = lambda i, j, *_: (i, j, 0)  # noqa: E731
+    if alias:
+        payload_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    else:
+        payload_spec = pl.BlockSpec((bx, by, nz), out_map,
+                                    memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=(
-            pl.BlockSpec((bx, by, nz), lambda i, j, *_: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
+            payload_spec,
+            pl.BlockSpec((8, 128), done_map, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((rx, ry, nz), jnp.int32),
             pltpu.VMEM((rx, ry, nz), jnp.uint8),
             pltpu.VMEM((rx, ry, nz), jnp.int32),
+            pltpu.VMEM((bx, by, nz), jnp.int32),
             pltpu.SemaphoreType.DMA((18,)),
         ],
     )
@@ -249,6 +297,8 @@ def chase_sweep(a, bk, flags, bx, by, halo, max_passes=0):
             jax.ShapeDtypeStruct((nx, ny, nz), jnp.int32),
             jax.ShapeDtypeStruct((grid[0] * 8, grid[1] * 128), jnp.int32),
         ),
+        # input 0 is the scalar-prefetch flags; input 1 is the payload
+        input_output_aliases={1: 0} if alias else {},
         # v5e has 128 MiB of VMEM; the default Mosaic budget is far smaller
         # and rejects the (16,16,8) config at nz=512
         compiler_params=pltpu.CompilerParams(
@@ -256,6 +306,17 @@ def chase_sweep(a, bk, flags, bx, by, halo, max_passes=0):
         ),
     )(flags, a, bk)
     return out, done
+
+
+# the flood path donates the payload (the alias kernel updates it in
+# place); the pointer path must NOT donate — callers hold views of the
+# parent buffer (e.g. parent_flat in the refinement driver)
+chase_sweep = partial(jax.jit, static_argnames=(
+    "bx", "by", "halo", "max_passes", "alias", "reverse"))(
+    _chase_sweep_impl)
+chase_sweep_inplace = partial(jax.jit, static_argnames=(
+    "bx", "by", "halo", "max_passes", "alias", "reverse"),
+    donate_argnums=(0,))(_chase_sweep_impl)
 
 
 def _dilate_blocks(notdone):
@@ -334,7 +395,7 @@ def _block_any(mask, bx, by):
 
 
 def _run_chase(a, best_k, bx, by, h, max_sweeps, init_active=None,
-               progress=None, max_passes=0):
+               progress=None, max_passes=0, alias=False, alternate=False):
     """Host-driven sweep loop, software-pipelined against the tunnel.
 
     Each iteration speculatively dispatches the next sweep *before*
@@ -348,6 +409,9 @@ def _run_chase(a, best_k, bx, by, h, max_sweeps, init_active=None,
             change in sweep 1 (flood seeding: only blocks with a maximum
             in their 3x3 neighbourhood); default all can_change blocks.
         progress: optional callback(sweep_index, active_block_count).
+        alias: in-place sweeps (payload donated; Gauss-Seidel halo reads).
+        alternate: flip the tile iteration direction every sweep so
+            against-the-grid-order fronts also collapse quickly.
     """
     can_change = _block_can_change(best_k, bx, by)
     active0 = can_change if init_active is None else (
@@ -355,11 +419,14 @@ def _run_chase(a, best_k, bx, by, h, max_sweeps, init_active=None,
     flags = active0.reshape(-1).astype(jnp.int32)
     if not bool(jnp.any(flags)):
         return a
-    a, done = chase_sweep(a, best_k, flags, bx, by, h, max_passes)
+    sweep_fn = chase_sweep_inplace if alias else chase_sweep
+    a, done = sweep_fn(a, best_k, flags, bx, by, h, max_passes, alias,
+                       False)
     for s in range(max_sweeps):
         flags, any_active = _next_flags(done, can_change)
-        a2, done2 = chase_sweep(a, best_k, flags, bx, by, h,
-                                max_passes)  # speculative
+        rev = alternate and (s % 2 == 0)
+        a2, done2 = sweep_fn(a, best_k, flags, bx, by, h,
+                             max_passes, alias, rev)  # speculative
         if progress is not None:
             progress(s, int(jnp.sum(done[::8, ::128] > 0)))
         if not bool(any_active):
@@ -458,7 +525,7 @@ def _flood_decode(out, n_max_dev):
 
 
 def labels_oneshot(best_k, vacuum=None, progress=None, block_target=16,
-                   max_passes=0):
+                   max_passes=0, alias=False, alternate=False):
     """Dense basin labels in ONE chase: seed maxima, flood downhill.
 
     The chase kernel moves *values* along the static bk-coded parent
@@ -487,7 +554,8 @@ def labels_oneshot(best_k, vacuum=None, progress=None, block_target=16,
             init = _dilate_blocks(_block_any(is_max, bx, by))
             return _run_chase(seed, best_k, bx, by, h, 4096,
                               init_active=init, progress=progress,
-                              max_passes=max_passes)
+                              max_passes=max_passes, alias=alias,
+                              alternate=alternate)
 
         out = _try_configs(_configs_for(shape, block_target), shape, run)
         labels = _flood_decode(out, n_max_dev)

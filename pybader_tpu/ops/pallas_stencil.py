@@ -75,6 +75,10 @@ def _dd_gt(x_hi, x_lo, y_hi, y_lo):
     return (x_hi > y_hi) | ((x_hi == y_hi) & (x_lo > y_lo))
 
 
+def _dd_eq(x_hi, x_lo, y_hi, y_lo):
+    return (x_hi == y_hi) & (x_lo == y_lo)
+
+
 # ----------------------------------------------------------------- kernel
 def _pick_block(n, target):
     for b in range(min(target, n), 0, -1):
@@ -83,9 +87,26 @@ def _pick_block(n, target):
     return n
 
 
-def _make_kernel(nx, ny, nz, bx, by, halo):
+def _make_kernel(nx, ny, nz, bx, by, halo, perm=(0, 1, 2)):
+    """Stencil kernel; ``perm`` says which ORIGINAL grid axis each local
+    axis is (the caller passes transposed arrays for shapes whose natural
+    layout the kernel can't tile).
+
+    The reference's tie-break is "first strictly-greater neighbour in the
+    ORIGINAL ix,iy,iz scan order wins" (methods.py:87-117).  Scanning in
+    permuted order would pick a different neighbour on exact-value ties,
+    so the update rule carries the candidate's original-order code and
+    prefers the smaller one on exact dd equality — which reproduces the
+    original scan order under any permutation (and reduces to plain
+    first-wins when perm is the identity).  Ties with the centre's own
+    value always go to the centre (best_orig starts at -1).
+    """
     rx = bx + 2 * halo
     ry = by + 2 * halo
+    # weight of each local-axis component in the ORIGINAL code
+    axis_w = [0, 0, 0]
+    for local_axis, orig_axis in enumerate(perm):
+        axis_w[local_axis] = (9, 3, 1)[orig_axis]
 
     def kernel(whi_ref, wlo_ref, hi_any, lo_any, out_ref,
                hi_loc, lo_loc, sems):
@@ -126,21 +147,24 @@ def _make_kernel(nx, ny, nz, bx, by, halo):
         p_lo = lo_loc[halo:halo + bx, halo:halo + by, :]
 
         def over_dx(kx, state):
-            best_hi, best_lo, best_k = state
+            best_hi, best_lo, best_k, best_orig = state
             sx = jax.lax.rem(jnp.int32(rx) + jnp.int32(1) - kx,
                              jnp.int32(rx))
             hx = pltpu.roll(hi_loc[:], sx, 0)
             lx_ = pltpu.roll(lo_loc[:], sx, 0)
 
             def over_dy(ky, state2):
-                best_hi, best_lo, best_k = state2
+                best_hi, best_lo, best_k, best_orig = state2
                 sy = jax.lax.rem(jnp.int32(ry) + jnp.int32(1) - ky,
                                  jnp.int32(ry))
                 hxy = pltpu.roll(hx, sy, 1)
                 lxy = pltpu.roll(lx_, sy, 1)
                 base = kx * jnp.int32(9) + ky * jnp.int32(3)
+                obase = (kx * jnp.int32(axis_w[0])
+                         + ky * jnp.int32(axis_w[1]))
                 for kz, dz in enumerate((-1, 0, 1)):
                     k = base + jnp.int32(kz)
+                    orig = obase + jnp.int32(kz * axis_w[2])
                     if dz:
                         n_hi = pltpu.roll(hxy, np.int32((-dz) % nz), 2)
                         n_lo = pltpu.roll(lxy, np.int32((-dz) % nz), 2)
@@ -154,29 +178,34 @@ def _make_kernel(nx, ny, nz, bx, by, halo):
                         d_hi, d_lo, whi_ref[k], wlo_ref[k])
                     c_hi, c_lo = _dd_add(m_hi, m_lo, p_hi, p_lo)
                     upd = _dd_gt(c_hi, c_lo, best_hi, best_lo)
+                    upd = upd | (_dd_eq(c_hi, c_lo, best_hi, best_lo)
+                                 & (best_orig >= jnp.int32(0))
+                                 & (orig < best_orig))
                     upd = jnp.logical_and(upd, k != jnp.int32(SELF_INDEX))
                     best_hi = jnp.where(upd, c_hi, best_hi)
                     best_lo = jnp.where(upd, c_lo, best_lo)
                     best_k = jnp.where(upd, k, best_k)
-                return best_hi, best_lo, best_k
+                    best_orig = jnp.where(upd, orig, best_orig)
+                return best_hi, best_lo, best_k, best_orig
 
             return jax.lax.fori_loop(
                 jnp.int32(0), jnp.int32(3), over_dy,
-                (best_hi, best_lo, best_k))
+                (best_hi, best_lo, best_k, best_orig))
 
         init = (p_hi, p_lo,
-                jnp.full((bx, by, nz), SELF_INDEX, dtype=jnp.int32))
-        _, _, best_k = jax.lax.fori_loop(
+                jnp.full((bx, by, nz), SELF_INDEX, dtype=jnp.int32),
+                jnp.full((bx, by, nz), -1, dtype=jnp.int32))
+        _, _, best_k, _ = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(3), over_dx, init)
         out_ref[:] = best_k
 
     return kernel, rx, ry
 
 
-@partial(jax.jit, static_argnames=("weights", "bx", "by", "halo"))
-def _stencil_call(hi, lo, weights, bx, by, halo):
+@partial(jax.jit, static_argnames=("weights", "bx", "by", "halo", "perm"))
+def _stencil_call(hi, lo, weights, bx, by, halo, perm=(0, 1, 2)):
     nx, ny, nz = hi.shape
-    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo)
+    kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo, perm)
     grid = (nx // bx, ny // by)
     w = np.asarray(weights, dtype=np.float64)
     w_hi = w.astype(np.float32)
@@ -214,11 +243,45 @@ def supports_shape(shape) -> bool:
     )
 
 
+def find_supported_perm(shape):
+    """Axis permutation making ``shape`` kernel-tileable, or None.
+
+    The identity is preferred (no transposes); otherwise any permutation
+    placing a 128-multiple axis last with 8-multiples in front works for
+    both the stencil and the chase kernel (labels are recovered by the
+    inverse transpose; tie-breaks stay in original scan order via the
+    kernel's ``perm`` argument).
+    """
+    from itertools import permutations
+
+    for perm in ((0, 1, 2),) + tuple(permutations((0, 1, 2)))[1:]:
+        if supports_shape(tuple(shape[p] for p in perm)):
+            return perm
+    return None
+
+
+def permute_weights(weights, perm):
+    """Reorder the 27-weight tuple into permuted-axis code order."""
+    w = list(weights)
+    out = [0.0] * 27
+    for cx in range(3):
+        for cy in range(3):
+            for cz in range(3):
+                kp = cx * 9 + cy * 3 + cz
+                comps = (cx, cy, cz)
+                orig = sum(comps[i] * (9, 3, 1)[perm[i]] for i in range(3))
+                out[kp] = w[orig]
+    return tuple(out)
+
+
 def ongrid_step_codes_dd(reference, weights, block_target: int = 32,
-                         halo: int = 8):
+                         halo: int = 8, perm=(0, 1, 2)):
     """Double-float Pallas stencil -> uint8 step codes.
 
-    ``reference`` is f64; split into an f32 hi/lo pair on device.
+    ``reference`` is f64; split into an f32 hi/lo pair on device.  With a
+    non-identity ``perm``, the caller passes the TRANSPOSED density and
+    weights already reordered by :func:`permute_weights`; the returned
+    codes are in permuted-axis geometry (decode or remap accordingly).
     """
     nx, ny, nz = reference.shape
     hi = reference.astype(jnp.float32)
@@ -231,6 +294,22 @@ def ongrid_step_codes_dd(reference, weights, block_target: int = 32,
              (16, 16, 8), (16, 8, 8), (8, 8, 8)),
             reference.shape,
             lambda bx, by, h: _stencil_call(hi, lo, tuple(weights),
-                                            bx, by, h),
+                                            bx, by, h, tuple(perm)),
         )
     return bk.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("perm",))
+def remap_codes_to_original(bk_p: jax.Array, perm: tuple) -> jax.Array:
+    """Permuted-geometry step codes -> original-axis code values.
+
+    Elementwise arithmetic only (no gathers): decode the three offset
+    components and re-weight them by the original axis positions.  The
+    result still lives on the PERMUTED grid; transpose separately.
+    """
+    cx = bk_p // 9
+    cy = (bk_p // 3) % 3
+    cz = bk_p % 3
+    w = (9, 3, 1)
+    return (cx * np.uint8(w[perm[0]]) + cy * np.uint8(w[perm[1]])
+            + cz * np.uint8(w[perm[2]])).astype(jnp.uint8)

@@ -80,30 +80,29 @@ def compact_labels(roots: jax.Array, maxima_sorted: jax.Array,
 def resolve_roots_auto(parent, best_k=None):
     """Resolve roots with the fastest available backend.
 
-    On TPU-like backends with chase-kernel-compatible shapes this uses the
-    Pallas roll-select chase (pybader_tpu/ops/pallas_chase.py) — XLA's
-    gather is ~45M lookups/s on TPU, making classic doubling the pipeline
-    bottleneck.  Elsewhere (CPU tests, odd shapes) falls back to pointer
-    doubling.
+    On TPU-like backends this uses directional-scan flooding
+    (pybader_tpu/ops/scanflood.py, any grid shape) — XLA's gather is ~45M
+    lookups/s on TPU, making classic doubling the pipeline bottleneck, and
+    the scans beat the Pallas block chase on long-chain fields.  Elsewhere
+    (CPU tests) falls back to pointer doubling.
     """
-    from pybader_tpu.ops import pallas_chase
+    from pybader_tpu.ops import pallas_chase, scanflood
 
     platform = jax.default_backend()
     single_device = (
         not hasattr(parent, "sharding")
         or len(getattr(parent.sharding, "device_set", [None])) <= 1
     )
-    if (platform != "cpu" and single_device
-            and pallas_chase.supports_shape(parent.shape)):
+    if platform != "cpu" and single_device:
         try:
             if best_k is None:
                 best_k = pallas_chase.step_code_from_parent(parent)
-            return pallas_chase.resolve_roots_pallas(parent, best_k)
-        except RuntimeError as e:  # pragma: no cover - compile/VMEM failure
+            return scanflood.resolve_roots_scan(best_k)
+        except RuntimeError as e:  # pragma: no cover - non-convergence
             import warnings
 
             warnings.warn(
-                "Pallas chase kernel failed to compile/run "
+                "scan-flood root resolution failed "
                 f"({type(e).__name__}: {e}); falling back to XLA pointer "
                 "doubling (slow on TPU)", RuntimeWarning,
             )

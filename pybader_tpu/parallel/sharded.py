@@ -208,4 +208,7 @@ def sharded_partition(mesh: Mesh, reference, vacuum, weights,
         lambda: jnp.arange(n, dtype=jnp.int32).reshape(shape),
         out_shardings=sharding,
     )()
-    return pipeline.renumber_discovery(labels_mo, bk, vac, n_max, iota)
+    is_max = bk == jnp.uint8(13)
+    if vac is not None:
+        is_max = is_max & ~vac
+    return pipeline.renumber_discovery(labels_mo, is_max, vac, n_max, iota)

@@ -34,17 +34,30 @@ def _step_codes_auto(reference, weights, exact_stencil=False):
 
     The dd-Pallas stencil is used on TPU-supported shapes (validated
     mismatch-free against the exact-f64 stencil); partition and refinement
-    must use the same backend so their ascent decisions agree.  Arrays
-    sharded over multiple devices take the XLA stencil (rolls lower to halo
-    collectives under GSPMD; pallas_call does not auto-partition).
+    must use the same backend so their ascent decisions agree.  Shapes the
+    kernel cannot tile directly but a transpose can (some axis a multiple
+    of 128, the others of 8) run the kernel on the permuted grid with
+    original-scan-order tie-breaks and remap the codes back — elementwise
+    arithmetic plus two transposes instead of a fall to the emulated-f64
+    XLA stencil.  Arrays sharded over multiple devices take the XLA
+    stencil (rolls lower to halo collectives under GSPMD; pallas_call
+    does not auto-partition).
     """
     from pybader_tpu.ops import pallas_stencil
 
     if (not exact_stencil and jax.default_backend() != "cpu"
-            and not _is_multidevice(reference)
-            and pallas_stencil.supports_shape(reference.shape)):
-        return pallas_stencil.ongrid_step_codes_dd(
-            reference, tuple(weights))
+            and not _is_multidevice(reference)):
+        if pallas_stencil.supports_shape(reference.shape):
+            return pallas_stencil.ongrid_step_codes_dd(
+                reference, tuple(weights))
+        perm = pallas_stencil.find_supported_perm(reference.shape)
+        if perm is not None:
+            inv = tuple(np.argsort(perm))
+            w_p = pallas_stencil.permute_weights(weights, perm)
+            bk_p = pallas_stencil.ongrid_step_codes_dd(
+                jnp.transpose(reference, perm), w_p, perm=perm)
+            bk_o = pallas_stencil.remap_codes_to_original(bk_p, perm)
+            return jnp.transpose(bk_o, inv)
     return ongrid_step_codes(reference, tuple(weights))
 
 
@@ -67,41 +80,53 @@ _WALK_BATCH = 1 << 21
 
 
 def _use_tpu_fast_path(shape):
-    from pybader_tpu.ops import pallas_chase
-
-    return (
-        jax.default_backend() != "cpu"
-        and pallas_chase.supports_shape(shape)
-    )
+    # the scan-flood label backend and the renumber sweeps are
+    # shape-agnostic; the dd stencil handles odd shapes by permutation
+    # (falling back to the exact XLA stencil when no permutation fits)
+    return jax.default_backend() != "cpu"
 
 
-def _partition_ongrid_tpu(reference, vac, weights, exact_stencil=False):
+def _partition_ongrid_tpu(reference, vac, weights, exact_stencil=False,
+                          progress=None):
     """Gather/scatter-free TPU partition with discovery-order labels.
 
-    1. dd-Pallas stencil -> step codes (or the exact-f64 XLA stencil).
-    2. One-shot label chase -> dense labels in maximum-flat-index order.
+    1. dd-Pallas stencil -> step codes (direct, axis-permuted with
+       original-order tie-breaks, or the exact-f64 XLA stencil — see
+       :func:`_step_codes_auto`).
+    2. Directional-scan label flooding (ops/scanflood.py) -> dense labels
+       in maximum-flat-index order.  The block-halo Pallas chase remains
+       available (ops/pallas_chase.labels_oneshot) but the scans win on
+       every measured workload — 500 ms vs 2.2 s at a dense 384^3 — and
+       run on any grid shape.
     3. Discovery-order renumbering: first basin member and the maximum
        position per label via masked-min sweeps; small argsort; full-grid
        renumber via select sweeps (all bandwidth-bound; no 45M-ops/s
        gathers or scatters anywhere).
     """
-    from pybader_tpu.ops import pallas_chase, pallas_stencil, reductions
+    from pybader_tpu.ops import scanflood
 
     shape = reference.shape
     bk = _step_codes_auto(reference, weights, exact_stencil)
     if vac is not None:
         bk = jnp.where(vac, jnp.uint8(13), bk)
-    labels_mo, n_max = pallas_chase.labels_oneshot(bk, vac)
+    tick = None
+    if progress is not None:
+        tick = lambda r, left: progress(  # noqa: E731
+            f"flood round {r + 1}: {left} voxels unresolved")
+    labels_mo, n_max = scanflood.labels_scanflood(bk, vac, progress=tick)
+    is_max = bk == jnp.uint8(13)
+    if vac is not None:
+        is_max = is_max & ~vac
     n_max = max(int(n_max), 1)
     if n_max > 4096:
         # degenerate basin counts: fall back to the compaction path
         parent = parent_from_step_codes(bk)
         return label_volumes(parent, vac, bk)
     iota = jnp.arange(int(np.prod(shape)), dtype=jnp.int32).reshape(shape)
-    return renumber_discovery(labels_mo, bk, vac, n_max, iota)
+    return renumber_discovery(labels_mo, is_max, vac, n_max, iota)
 
 
-def renumber_discovery(labels_mo, bk, vac, n_max: int, iota):
+def renumber_discovery(labels_mo, is_max, vac, n_max: int, iota):
     """Renumber arbitrary consistent basin ids to discovery order.
 
     Discovery order = ascending first (minimum flat-index) member per basin
@@ -109,16 +134,15 @@ def renumber_discovery(labels_mo, bk, vac, n_max: int, iota):
     (methods.py:201-209).  All full-grid work is masked sweeps (sharding-
     friendly: elementwise selects + tree reductions, no gathers/scatters).
 
-    ``iota`` is the global flat-index grid, passed in so callers can supply
-    an already-sharded one.  returns (labels, maxima (M,3) int64).
+    ``is_max`` is the non-vacuum local-maximum mask (the self step of the
+    ascent stencil).  ``iota`` is the global flat-index grid, passed in so
+    callers can supply an already-sharded one.  returns (labels, maxima
+    (M,3) int64).
     """
     from pybader_tpu.ops import reductions
 
     shape = labels_mo.shape
     nx, ny, nz = shape
-    is_max = bk == jnp.uint8(13)
-    if vac is not None:
-        is_max = is_max & ~vac
     first_member, max_pos = reductions.masked_min_pair(
         iota, labels_mo, is_max, n_max
     )
@@ -135,7 +159,7 @@ def renumber_discovery(labels_mo, bk, vac, n_max: int, iota):
 
 
 def partition_ongrid(reference, vacuum, weights, exact_stencil=False,
-                     mesh=None):
+                     mesh=None, progress=None):
     """Ongrid partition: stencil parents + pointer-chain resolution.
 
     args:
@@ -148,6 +172,10 @@ def partition_ongrid(reference, vacuum, weights, exact_stencil=False,
         mesh: optional jax.sharding.Mesh — shard the grid and run the
             multi-device pipeline (parallel/sharded.py); labels are
             voxel-identical to the single-device result.
+        progress: optional callback(str) for live stage ticks (flood
+            rounds); the CLI/API wires this to an in-place console line
+            (reference analog: the counter-polling tqdm thread,
+            utils.py:107-142).
     returns:
         (labels int32 device array [-1=vacuum, 0..M-1 basins],
          maxima (M,3) int64 voxel indices in discovery order)
@@ -159,7 +187,8 @@ def partition_ongrid(reference, vacuum, weights, exact_stencil=False,
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
     if _use_tpu_fast_path(reference.shape):
-        return _partition_ongrid_tpu(reference, vac, weights, exact_stencil)
+        return _partition_ongrid_tpu(reference, vac, weights, exact_stencil,
+                                     progress)
     parent, bk = _parent_and_codes(reference, vac, weights)
     return label_volumes(parent, vac, bk)
 
@@ -174,7 +203,7 @@ _NEARGRID_HYBRID_THRESHOLD = 1 << 24
 def partition_neargrid(reference, vacuum, weights, t_grad,
                        batch: int = _WALK_BATCH,
                        full_trajectories: bool | None = None,
-                       mesh=None):
+                       mesh=None, progress=None):
     """Neargrid partition: every voxel walks its full trajectory.
 
     Order-independent formulation of reference methods.py:222-611 (see
@@ -193,10 +222,11 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     if full_trajectories is None:
         full_trajectories = n <= _NEARGRID_HYBRID_THRESHOLD and not multi
     if not full_trajectories:
-        labels, maxima = partition_ongrid(reference, vac, weights, mesh=mesh)
+        labels, maxima = partition_ongrid(reference, vac, weights, mesh=mesh,
+                                          progress=progress)
         labels, _ = refine_labels(
             "neargrid", ("changed", -1), reference, labels, weights,
-            t_grad, verbose=False, mesh=mesh,
+            t_grad, verbose=False, mesh=mesh, progress=progress,
         )
         # refinement reassigns edge voxels among the existing basin ids;
         # numbering and the maxima list stay those of the initialisation
@@ -215,12 +245,19 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         np.arange(n, dtype=np.int32) if vac_h is None
         else np.flatnonzero(~vac_h).astype(np.int32)
     )
+    n_batches = -(-len(starts_all) // batch)
     for lo in range(0, len(starts_all), batch):
+        b = lo // batch + 1
+        tick = None
+        if progress is not None:
+            tick = lambda s, alive: progress(  # noqa: E731
+                f"trajectory batch {b}/{n_batches}: step {s}, "
+                f"{alive} walking")
         chunk = starts_all[lo:lo + batch]
         padded = neargrid_ops.pad_starts(chunk)
         pos, done = neargrid_ops.walk_drain(
             jnp.asarray(padded), rho_flat, parent_flat, stop_flat, t_grad,
-            shape, strict_grad=False,
+            shape, strict_grad=False, progress=tick,
         )
         # step-cap stragglers resolve through their ongrid root (a maximum)
         if not bool(jnp.all(done)):
@@ -236,7 +273,8 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
 
 
 def refine_labels(method: str, refine_mode, reference, labels, weights,
-                  t_grad, verbose: bool = True, mesh=None, stats=None):
+                  t_grad, verbose: bool = True, mesh=None, stats=None,
+                  progress=None):
     """Iterative neargrid edge refinement to (or towards) a fixed point.
 
     Mirrors reference thread_handlers.refine (:128-236): iteration 1 walks
@@ -339,9 +377,14 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         # detection and would otherwise spin to the global cap; stragglers
         # resolve through their ongrid root below
         walk_fn = neargrid_ops.walk if multi else neargrid_ops.walk_drain
+        wkw = {}
+        if progress is not None and not multi:
+            wkw["progress"] = lambda s, alive: progress(
+                f"iteration {it}: step {s}, {alive}/{n_edges} edges "
+                f"walking")
         pos, done = walk_fn(
             padded, rho_flat, parent_flat, stop_flat, t_grad, shape,
-            strict_grad=True, max_steps=192,
+            strict_grad=True, max_steps=192, **wkw,
         )
         n_capped = int(jnp.sum(~done[:n_edges])) if not bool(
             jnp.all(done)) else 0

@@ -115,3 +115,61 @@ def test_sharded_step_runs_and_counts_maxima():
     np.testing.assert_allclose(
         float(np.asarray(charge).sum()), rho.sum(), rtol=1e-12
     )
+
+
+def test_sharded_analysis_stages_match_single_device():
+    """Charge sums, surface distance and relabel on the mesh equal the
+    single-device results (verdict item 4: the analysis stages must take
+    the mesh instead of pulling full grids onto every device)."""
+    import jax.numpy as jnp
+
+    from pybader_tpu.ops import atoms as atoms_ops
+    from pybader_tpu.ops import edges as edges_ops
+    from pybader_tpu.ops import reductions
+    from pybader_tpu.parallel.analysis import (
+        sharded_charge_volume_sum, sharded_min_surface_distance,
+        sharded_relabel,
+    )
+
+    rho = make_density(5)
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    labels, maxima = pipeline.partition_ongrid(rho, None, w)
+    n_max = len(maxima)
+    rng = np.random.default_rng(9)
+    atoms_cart = rng.random((max(n_max // 2, 2), 3)) @ LATTICE
+    mx_cart = (np.asarray(maxima) / np.asarray(SHAPE)) @ LATTICE
+    atom_of_max, _ = atoms_ops.assign_to_atoms(
+        jnp.asarray(mx_cart), jnp.asarray(atoms_cart),
+        jnp.asarray(LATTICE))
+    n_atoms = len(atoms_cart)
+
+    # single-device references
+    atoms_vols_1 = reductions.relabel(
+        jnp.asarray(labels, dtype=jnp.int32),
+        jnp.asarray(atom_of_max, dtype=jnp.int32))
+    c1, v1 = reductions.charge_volume_sum(
+        jnp.asarray(rho), atoms_vols_1, 0.123, n_atoms)
+    known = edges_ops.edge_find(jnp.asarray(rho), atoms_vols_1)
+    edge_mask = (known == -2).reshape(-1)
+    n_edges = int(jnp.sum(edge_mask))
+    size = max(4096, 1 << (n_edges - 1).bit_length())
+    edge_idx = reductions.compact_indices(edge_mask, size)[:n_edges]
+    d1 = atoms_ops.surface_distance_from_edges(
+        edge_idx, atoms_vols_1.reshape(-1), jnp.asarray(LATTICE),
+        jnp.asarray(atoms_cart), SHAPE, n_atoms)
+
+    for n in (4, 8):
+        mesh = make_mesh(n)
+        atoms_vols_n = sharded_relabel(mesh, labels, atom_of_max)
+        np.testing.assert_array_equal(
+            np.asarray(atoms_vols_n), np.asarray(atoms_vols_1))
+        cn, vn = sharded_charge_volume_sum(
+            mesh, rho, atoms_vols_1, 0.123, n_atoms)
+        np.testing.assert_allclose(np.asarray(cn), np.asarray(c1),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(vn), np.asarray(v1),
+                                   rtol=1e-12)
+        dn = sharded_min_surface_distance(
+            mesh, rho, atoms_vols_1, LATTICE, atoms_cart, n_atoms)
+        np.testing.assert_allclose(np.asarray(dn), np.asarray(d1),
+                                   rtol=1e-10, atol=1e-12)
