@@ -211,16 +211,19 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
                parent_flat: jax.Array, stop_flat: jax.Array,
                t_grad: jax.Array, shape: tuple,
                strict_grad: bool = False, max_steps: int = 0,
-               segment: int = 24, min_batch: int = 4096,
+               segments=(8, 8, 16, 32, 64), min_batch: int = 4096,
                progress=None):
     """:func:`walk` with tail-latency drain (same contract, same results).
 
-    Walks in ``segment``-step slices; after each slice the still-running
+    Walks in bounded-step slices; after each slice the still-running
     lanes are compacted into the smallest power-of-4 bucket that holds
     them, so the cost of a step scales with the *live* batch, not the
     initial one.  Most edge re-walks terminate within a few steps while a
     few run for hundreds — lockstep walking pays K*T_max gathers, draining
-    pays ~sum(per-lane path length).
+    pays ~sum(per-lane path length).  The slice schedule starts short
+    (most lanes retire in the first few steps, and per-step cost scales
+    with the batch) and grows geometrically for the long tail; the last
+    entry repeats.
 
     ``progress``: optional callback(steps_done, n_alive) per segment.
     """
@@ -232,18 +235,35 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     out_pos = state[0]
     out_done = state[4]
     orig = None  # lane -> original index map once compacted
-    steps = 0
     size = k0
+
+    def walk_seg(st, seg):
+        return _walk_segment(st, rho_flat, parent_flat, stop_flat,
+                             t_grad, shape, strict_grad, seg)
+
+    # software-pipelined segment loop: the alive-count fetch for segment i
+    # overlaps segment i+1's execution (count describes the PRE-speculation
+    # state — a safe upper bound for compaction decisions, and walking
+    # all-done lanes is a no-op, so the speculative segment never corrupts
+    # results)
+    steps = 0
+    seg = min(segments[0], max_steps)
+    state = walk_seg(state, seg)
+    steps += seg
+    seg_i = 1
+    count_dev = jnp.sum(~state[4])
     while steps < max_steps:
-        seg = min(segment, max_steps - steps)
-        state = _walk_segment(state, rho_flat, parent_flat, stop_flat,
-                              t_grad, shape, strict_grad, seg)
+        seg = min(segments[min(seg_i, len(segments) - 1)],
+                  max_steps - steps)
+        seg_i += 1
+        state = walk_seg(state, seg)  # speculative
         steps += seg
-        n_alive = int(jnp.sum(~state[4]))
+        n_alive = int(count_dev)  # fetch overlaps the segment above
         if progress is not None:
-            progress(steps, n_alive)
+            progress(steps - seg, n_alive)
         if n_alive == 0:
             break
+        count_dev = jnp.sum(~state[4])
         # shrink the batch once the live set fits a 4x smaller bucket
         new_size = max(min_batch, 1 << (max(n_alive, 1) - 1).bit_length())
         if new_size.bit_length() % 2 == 0:
@@ -258,6 +278,7 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
             orig = sub if orig is None else jnp.take(orig, sub)
             state = packed
             size = new_size
+            count_dev = jnp.sum(~state[4])
     if orig is not None:
         out_pos, out_done = _scatter_back(
             out_pos, out_done, orig, state[0], state[4])

@@ -291,9 +291,11 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
 
     With a ``mesh``, the full-grid stencil stages (edge_find/edge_check and
     the ascent stencil) run sharded over the mesh (rolls -> halo
-    collectives), while the trajectory walker runs data-parallel over the
-    edge-voxel batch with its flat grid operands replicated, keeping its
-    per-step gathers device-local.
+    collectives), and the trajectory walker keeps the f64 density and the
+    parent grid sharded too, gathering per step via masked-local-gather +
+    psum (parallel/walk.py) — no device materialises a full-grid f64
+    array.  Small int32/int8 stages (edge compaction sort, label pickup)
+    still reshard through XLA collectives.
 
     returns (labels, total_changed).
     """
@@ -306,35 +308,25 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
 
     reference = jnp.asarray(reference)
     labels = jnp.asarray(labels)
-    rep = lambda a: a  # noqa: E731
     if mesh is not None and len(mesh.devices.reshape(-1)) > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding
 
         from pybader_tpu.parallel.chase import grid_spec_2d
 
         sharding = NamedSharding(mesh, grid_spec_2d(mesh, reference.shape))
-        replicated = NamedSharding(mesh, P())
         reference = jax.device_put(reference, sharding)
         labels = jax.device_put(labels, sharding)
-        rep = lambda a: jax.device_put(a, replicated)  # noqa: E731
-        n_dev = len(mesh.devices.reshape(-1))
-        batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
-
-        def shard_batch(a):
-            # edge-voxel batches are data-parallel when they divide the mesh
-            if a.shape[0] % n_dev == 0:
-                return jax.device_put(a, batch_sharding)
-            return rep(a)
-    else:
-        shard_batch = rep
     shape = reference.shape
     t_grad = jnp.asarray(t_grad)
     vac = labels == -1
     multi = mesh is not None and len(mesh.devices.reshape(-1)) > 1
     parent, bk = _parent_and_codes(reference, vac, weights)
-    parent_flat = rep(parent.reshape(-1))
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
-    rho_flat = rep(reference.reshape(-1))
+    if multi:
+        parent_flat = rho_flat = None  # grids stay sharded (walk_sharded)
+    else:
+        parent_flat = parent.reshape(-1)
+        rho_flat = reference.reshape(-1)
     # local maximum <=> self ascent step: lets the edge stencils skip 26
     # rolls of the f64 density grid (ops/edges._edge_and_max)
     is_max = (bk == jnp.uint8(13)) & ~vac
@@ -371,21 +363,27 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             # the host every iteration
             starts_dev_padded = compact_indices(edge_mask, size)
         starts_small = None
-        padded = shard_batch(starts_dev_padded)
-        stop_flat = rep((known == 2).reshape(-1))
         # cap trajectories: period>2 cycles escape the walker's revisit
         # detection and would otherwise spin to the global cap; stragglers
         # resolve through their ongrid root below
-        walk_fn = neargrid_ops.walk if multi else neargrid_ops.walk_drain
-        wkw = {}
-        if progress is not None and not multi:
-            wkw["progress"] = lambda s, alive: progress(
-                f"iteration {it}: step {s}, {alive}/{n_edges} edges "
-                f"walking")
-        pos, done = walk_fn(
-            padded, rho_flat, parent_flat, stop_flat, t_grad, shape,
-            strict_grad=True, max_steps=192, **wkw,
-        )
+        if multi:
+            from pybader_tpu.parallel.walk import walk_sharded
+
+            pos, done = walk_sharded(
+                mesh, starts_dev_padded, reference, parent, known == 2,
+                t_grad, strict_grad=True, max_steps=192,
+            )
+        else:
+            stop_flat = (known == 2).reshape(-1)
+            wkw = {}
+            if progress is not None:
+                wkw["progress"] = lambda s, alive: progress(
+                    f"iteration {it}: step {s}, {alive}/{n_edges} edges "
+                    f"walking")
+            pos, done = neargrid_ops.walk_drain(
+                starts_dev_padded, rho_flat, parent_flat, stop_flat,
+                t_grad, shape, strict_grad=True, max_steps=192, **wkw,
+            )
         n_capped = int(jnp.sum(~done[:n_edges])) if not bool(
             jnp.all(done)) else 0
         if n_capped:
@@ -398,11 +396,17 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 print(f"  {n_capped} trajectories hit the step cap "
                       f"(resolved through ongrid roots)")
             if roots_flat is None:
-                roots_flat = resolve_roots_auto(parent, bk).reshape(-1)
+                if multi:
+                    from pybader_tpu.parallel.chase import sharded_chase
+
+                    roots_flat = sharded_chase(
+                        mesh, parent, bk).reshape(-1)
+                else:
+                    roots_flat = resolve_roots_auto(parent, bk).reshape(-1)
             pos = jnp.where(done, pos,
                             jnp.take(roots_flat, pos, mode="clip"))
         labels_flat = labels.reshape(-1)
-        starts_dev = padded[:n_edges]
+        starts_dev = starts_dev_padded[:n_edges]
         new_lab = jnp.take(labels_flat, pos[:n_edges], mode="clip")
         old_lab = jnp.take(labels_flat, starts_dev, mode="clip")
         changed_mask = new_lab != old_lab

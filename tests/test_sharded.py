@@ -173,3 +173,49 @@ def test_sharded_analysis_stages_match_single_device():
             mesh, rho, atoms_vols_1, LATTICE, atoms_cart, n_atoms)
         np.testing.assert_allclose(np.asarray(dn), np.asarray(d1),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_walk_sharded_matches_single_device_walker():
+    """The mesh walker (sharded f64/parent operands, masked-gather+psum)
+    reproduces ops.neargrid.walk exactly, and its grid operands are NOT
+    replicated (the round-2 memory-scaling gap)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from pybader_tpu.ops import edges as edges_ops
+    from pybader_tpu.ops import neargrid as ng
+    from pybader_tpu.ops.reductions import compact_indices
+    from pybader_tpu.ops.stencil import ongrid_step_codes, \
+        parent_from_step_codes
+    from pybader_tpu.parallel.chase import grid_spec_2d
+    from pybader_tpu.parallel.walk import walk_sharded
+
+    rho = make_density(7)
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    tg = g.t_grad(LATTICE, SHAPE)
+    labels, _ = pipeline.partition_ongrid(rho, None, w)
+    bk = ongrid_step_codes(jnp.asarray(rho), w)
+    parent = parent_from_step_codes(bk)
+    is_max = bk == jnp.uint8(13)
+    known = edges_ops.edge_find(jnp.asarray(rho), labels, is_max)
+    edge_mask = (known == -2).reshape(-1)
+    n_edges = int(jnp.sum(edge_mask))
+    assert n_edges > 0
+    starts = compact_indices(edge_mask, 4096)
+    pos_1, done_1 = ng.walk(
+        starts, jnp.asarray(rho).reshape(-1), parent.reshape(-1),
+        (known == 2).reshape(-1), jnp.asarray(tg), SHAPE,
+        strict_grad=True, max_steps=192)
+
+    for n in (4, 8):
+        mesh = make_mesh(n)
+        spec = grid_spec_2d(mesh, SHAPE)
+        sharding = NamedSharding(mesh, spec)
+        rho_sh = jax.device_put(jnp.asarray(rho), sharding)
+        assert not rho_sh.sharding.is_fully_replicated
+        pos_n, done_n = walk_sharded(
+            mesh, starts, rho_sh, parent, known == 2, tg,
+            strict_grad=True, max_steps=192)
+        np.testing.assert_array_equal(np.asarray(pos_n), np.asarray(pos_1))
+        np.testing.assert_array_equal(np.asarray(done_n),
+                                      np.asarray(done_1))
