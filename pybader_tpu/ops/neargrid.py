@@ -49,6 +49,49 @@ def _round_away(x):
 
 _HIST = 3  # recent-position window (catches period <= 5 cycles with prev)
 
+_ONGRID_BIT = jnp.int32(1 << 28)  # flat indices < 2^27 (512^3): bits free
+_MAX_BIT = jnp.int32(1 << 29)
+_IDX_MASK = jnp.int32((1 << 28) - 1)
+
+
+@partial(jax.jit, static_argnames=("strict_grad",))
+def precompute_fields(reference, parent, t_grad, strict_grad: bool):
+    """Per-voxel walk operands as gatherable fields (one stencil pass).
+
+    The neargrid step direction is a pure function of the voxel: the
+    central-difference gradient, its axis-flat zeroing, the T_grad
+    transform and the inf-norm normalisation don't depend on the
+    trajectory (only ``dr`` does).  Precomputing them turns the walker's
+    ~9 gathers per step (6 axis densities + centre + parent + stop) into
+    3 (one (K,3) row gather of g, one packed parent+flags int32, one stop
+    byte) — the walk is gather-latency-bound on TPU, so gather count is
+    wall-clock (measured ~24M lookups/s at 16.7M lanes).
+
+    returns (g (N,3) with unit inf-norm — the exact value the in-line
+    walker computed, packed (N,) int32: parent index | ONGRID_BIT if
+    |grad| ~ 0 | MAX_BIT if parent == self).
+    """
+    nx, ny, nz = reference.shape
+    grads = []
+    for j in range(3):
+        up = jnp.roll(reference, -1, j)
+        dn = jnp.roll(reference, 1, j)
+        if strict_grad:
+            axis_flat = (up < reference) & (dn < reference)
+        else:
+            axis_flat = (up <= reference) & (dn <= reference)
+        grads.append(jnp.where(axis_flat, 0.0, (up - dn) * 0.5))
+    grad = jnp.stack([a.reshape(-1) for a in grads], axis=-1)  # (N, 3)
+    gd = grad @ t_grad.T
+    mg = jnp.max(jnp.abs(gd), axis=-1, keepdims=True)
+    use_ongrid = mg[:, 0] < 1e-14
+    g = gd / jnp.where(mg > 0, mg, 1.0)
+    pf = parent.reshape(-1)
+    self_idx = jnp.arange(pf.shape[0], dtype=jnp.int32)
+    packed = pf | jnp.where(use_ongrid, _ONGRID_BIT, 0) | jnp.where(
+        pf == self_idx, _MAX_BIT, 0)
+    return g, packed
+
 
 def _init_state(starts, dtype):
     pos0 = jnp.clip(starts, 0).astype(jnp.int32)
@@ -150,6 +193,73 @@ def _walk_segment(state, rho_flat, parent_flat, stop_flat, t_grad,
     return pos, prev, hist, dr, done
 
 
+@partial(jax.jit, static_argnames=("shape", "max_steps", "has_stop"))
+def _walk_segment_packed(state, g_field, packed_field, stop_flat,
+                         shape: tuple, max_steps: int, has_stop: bool):
+    """Advance live trajectories using precomputed fields (3 gathers/step).
+
+    Trajectory-for-trajectory identical to :func:`_walk_segment` (the
+    per-position quantities are bit-equal precomputes; only ``dr``
+    evolves in the loop).
+    """
+    nx, ny, nz = shape
+    dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+
+    def flat(xyz):
+        return (xyz[..., 0] * ny + xyz[..., 1]) * nz + xyz[..., 2]
+
+    def unflat(p):
+        return jnp.stack([p // (ny * nz), (p // nz) % ny, p % nz], axis=-1)
+
+    def termination(pos, done):
+        pk = jnp.take(packed_field, pos, mode="clip")
+        if has_stop:
+            at_stop = jnp.take(stop_flat, pos, mode="clip")
+            done = done | at_stop
+        return done | ((pk & _MAX_BIT) != 0), pk
+
+    def cond(carry):
+        pos, prev, hist, dr, done, step = carry
+        return (~jnp.all(done)) & (step < max_steps)
+
+    def body(carry):
+        pos, prev, hist, dr, done, step = carry
+        done, pk = termination(pos, done)
+        g = jnp.take(g_field, pos, axis=0, mode="clip")  # (K, 3)
+        use_ongrid = (pk & _ONGRID_BIT) != 0
+        ongrid_next = pk & _IDX_MASK
+
+        xyz = unflat(pos)
+        int_grad = _round_away(g)
+        dr_new = dr + g - int_grad
+        int_dr = _round_away(dr_new)
+        dr_after = dr_new - int_dr
+        nxt = flat(jnp.remainder(xyz + int_grad + int_dr, dims))
+
+        nxt = jnp.where(use_ongrid, ongrid_next, nxt)
+        revisit = (nxt == pos) | (nxt == prev)
+        for h in range(hist.shape[-1]):
+            revisit = revisit | (nxt == hist[:, h])
+        nxt = jnp.where(revisit, ongrid_next, nxt)
+        reset = use_ongrid | revisit
+        dr_after = jnp.where(reset[:, None], 0.0, dr_after)
+
+        pos_new = jnp.where(done, pos, nxt)
+        prev_new = jnp.where(done, prev, pos)
+        hist_new = jnp.where(
+            done[:, None], hist,
+            jnp.concatenate([prev[:, None], hist[:, :-1]], axis=1))
+        dr_out = jnp.where(done[:, None], dr, dr_after)
+        return pos_new, prev_new, hist_new, dr_out, done, step + 1
+
+    pos, prev, hist, dr, done = state
+    pos, prev, hist, dr, done, _ = jax.lax.while_loop(
+        cond, body, (pos, prev, hist, dr, done, jnp.int32(0))
+    )
+    done, _ = termination(pos, done)
+    return pos, prev, hist, dr, done
+
+
 @partial(jax.jit, static_argnames=("size",))
 def _compact_state(state, size: int):
     """Pack still-running lanes first and slice the batch to ``size``.
@@ -207,54 +317,77 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
     return pos, done
 
 
+_LANE_STEP_BUDGET = 48_000_000
+# cap on (live lanes x steps) per dispatched segment: a single XLA
+# program whose gathers run for minutes kills the TPU worker through the
+# tunnel (observed at ~2-3 min; 48M lane-steps x 3 gathers / ~25M
+# gathers/s keeps a segment under ~6 s), and shorter early segments also
+# retire the short-path majority before paying long-segment cost
+
+
 def walk_drain(starts: jax.Array, rho_flat: jax.Array,
                parent_flat: jax.Array, stop_flat: jax.Array,
                t_grad: jax.Array, shape: tuple,
                strict_grad: bool = False, max_steps: int = 0,
-               segments=(8, 8, 16, 32, 64), min_batch: int = 4096,
-               progress=None):
-    """:func:`walk` with tail-latency drain (same contract, same results).
+               segments=(4, 4, 8, 16, 32, 64), min_batch: int = 4096,
+               progress=None, fields=None):
+    """:func:`walk` with packed operands and tail-latency drain.
 
-    Walks in bounded-step slices; after each slice the still-running
-    lanes are compacted into the smallest power-of-4 bucket that holds
-    them, so the cost of a step scales with the *live* batch, not the
-    initial one.  Most edge re-walks terminate within a few steps while a
-    few run for hundreds — lockstep walking pays K*T_max gathers, draining
-    pays ~sum(per-lane path length).  The slice schedule starts short
-    (most lanes retire in the first few steps, and per-step cost scales
-    with the batch) and grows geometrically for the long tail; the last
-    entry repeats.
+    Same contract and trajectory-identical results.  Two changes against
+    the naive lockstep walk:
 
+    - operands are precomputed fields (:func:`precompute_fields`): 3
+      gathers per step instead of ~9 — the walk is gather-latency-bound;
+    - walking proceeds in bounded-step slices; after each slice the
+      still-running lanes are compacted into the smallest power-of-4
+      bucket that holds them, so a step costs the live batch, not the
+      initial one.  The slice schedule starts short (most lanes retire in
+      the first few steps) and grows geometrically for the long tail,
+      bounded by a lane-step budget per dispatched program.
+
+    ``fields``: optional (g_field, packed_field) from
+    :func:`precompute_fields` — pass it when walking repeatedly against
+    the same density (refinement iterations).
     ``progress``: optional callback(steps_done, n_alive) per segment.
     """
     nx, ny, nz = shape
     if max_steps == 0:
         max_steps = 2 * (nx + ny + nz) + 64
+    if fields is None:
+        fields = precompute_fields(
+            rho_flat.reshape(shape), parent_flat.reshape(shape),
+            jnp.asarray(t_grad), strict_grad)
+    g_field, packed_field = fields
+    has_stop = stop_flat is not None
     k0 = int(starts.shape[0])
-    state = _init_state(starts, rho_flat.dtype)
+    state = _init_state(starts, g_field.dtype)
     out_pos = state[0]
     out_done = state[4]
     orig = None  # lane -> original index map once compacted
     size = k0
 
     def walk_seg(st, seg):
-        return _walk_segment(st, rho_flat, parent_flat, stop_flat,
-                             t_grad, shape, strict_grad, seg)
+        return _walk_segment_packed(st, g_field, packed_field, stop_flat,
+                                    shape, seg, has_stop)
 
     # software-pipelined segment loop: the alive-count fetch for segment i
     # overlaps segment i+1's execution (count describes the PRE-speculation
     # state — a safe upper bound for compaction decisions, and walking
     # all-done lanes is a no-op, so the speculative segment never corrupts
     # results)
+    def seg_len(i, remaining, sz):
+        want = segments[min(i, len(segments) - 1)]
+        budget = max(1, _LANE_STEP_BUDGET // max(sz, 1))
+        return max(1, min(want, remaining, budget))
+
     steps = 0
-    seg = min(segments[0], max_steps)
+    seg = seg_len(0, max_steps, size)
     state = walk_seg(state, seg)
     steps += seg
     seg_i = 1
     count_dev = jnp.sum(~state[4])
     while steps < max_steps:
-        seg = min(segments[min(seg_i, len(segments) - 1)],
-                  max_steps - steps)
+        seg = seg_len(seg_i, max_steps - steps, size)
         seg_i += 1
         state = walk_seg(state, seg)  # speculative
         steps += seg

@@ -233,11 +233,10 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         # (the reference likewise fixes them at bader_calc time)
         return labels, maxima
     parent, bk = _parent_and_codes(reference, vac, weights)
-    parent_flat = parent.reshape(-1)
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
-    rho_flat = reference.reshape(-1)
-    stop_flat = jnp.zeros((n,), dtype=bool)
     t_grad = jnp.asarray(t_grad)
+    fields = neargrid_ops.precompute_fields(
+        reference, parent, t_grad, strict_grad=False)
 
     vac_h = None if vac is None else np.asarray(vac).reshape(-1)
     final = np.arange(n, dtype=np.int32)
@@ -256,8 +255,8 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         chunk = starts_all[lo:lo + batch]
         padded = neargrid_ops.pad_starts(chunk)
         pos, done = neargrid_ops.walk_drain(
-            jnp.asarray(padded), rho_flat, parent_flat, stop_flat, t_grad,
-            shape, strict_grad=False, progress=tick,
+            jnp.asarray(padded), None, None, None, t_grad,
+            shape, strict_grad=False, progress=tick, fields=fields,
         )
         # step-cap stragglers resolve through their ongrid root (a maximum)
         if not bool(jnp.all(done)):
@@ -322,11 +321,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     multi = mesh is not None and len(mesh.devices.reshape(-1)) > 1
     parent, bk = _parent_and_codes(reference, vac, weights)
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
-    if multi:
-        parent_flat = rho_flat = None  # grids stay sharded (walk_sharded)
-    else:
-        parent_flat = parent.reshape(-1)
-        rho_flat = reference.reshape(-1)
+    walk_fields = None  # packed walker operands, built on first walk
     # local maximum <=> self ascent step: lets the edge stencils skip 26
     # rolls of the f64 density grid (ops/edges._edge_and_max)
     is_max = (bk == jnp.uint8(13)) & ~vac
@@ -374,6 +369,9 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 t_grad, strict_grad=True, max_steps=192,
             )
         else:
+            if walk_fields is None:
+                walk_fields = neargrid_ops.precompute_fields(
+                    reference, parent, t_grad, strict_grad=True)
             stop_flat = (known == 2).reshape(-1)
             wkw = {}
             if progress is not None:
@@ -381,8 +379,9 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     f"iteration {it}: step {s}, {alive}/{n_edges} edges "
                     f"walking")
             pos, done = neargrid_ops.walk_drain(
-                starts_dev_padded, rho_flat, parent_flat, stop_flat,
-                t_grad, shape, strict_grad=True, max_steps=192, **wkw,
+                starts_dev_padded, None, None, stop_flat,
+                t_grad, shape, strict_grad=True, max_steps=192,
+                fields=walk_fields, **wkw,
             )
         n_capped = int(jnp.sum(~done[:n_edges])) if not bool(
             jnp.all(done)) else 0
