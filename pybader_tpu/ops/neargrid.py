@@ -51,6 +51,7 @@ _HIST = 3  # recent-position window (catches period <= 5 cycles with prev)
 
 _ONGRID_BIT = jnp.int32(1 << 28)  # flat indices < 2^27 (512^3): bits free
 _MAX_BIT = jnp.int32(1 << 29)
+_STOP_BIT = jnp.int32(1 << 30)
 _IDX_MASK = jnp.int32((1 << 28) - 1)
 
 
@@ -63,16 +64,21 @@ def precompute_fields(reference, parent, t_grad, strict_grad: bool):
     transform and the inf-norm normalisation don't depend on the
     trajectory (only ``dr`` does).  Precomputing them turns the walker's
     ~9 gathers per step (6 axis densities + centre + parent + stop) into
-    3 (one (K,3) row gather of g, one packed parent+flags int32, one stop
-    byte) — the walk is gather-latency-bound on TPU, so gather count is
-    wall-clock (measured ~24M lookups/s at 16.7M lanes).
+    ONE: the walk is gather-latency-bound on TPU and a row gather of a
+    few f64 lanes costs the same as a single-element gather (measured
+    30.9M rows/s vs 32.6M f64 elements/s at 16M lanes), so g and the
+    packed parent+flags ride one (N,4) row (see :func:`pack_rows`).
 
     returns (g (N,3) with unit inf-norm — the exact value the in-line
     walker computed, packed (N,) int32: parent index | ONGRID_BIT if
     |grad| ~ 0 | MAX_BIT if parent == self).
     """
     nx, ny, nz = reference.shape
-    grads = []
+    # accumulate gd = grad @ T.T one gradient component at a time: keeps
+    # the live set to ~4 grid-sized f64 buffers instead of ~8 (a full
+    # (N,3) grad stack next to gd peaked HBM at 512^3-scale workloads)
+    gd = [jnp.zeros(reference.size, dtype=reference.dtype)
+          for _ in range(3)]
     for j in range(3):
         up = jnp.roll(reference, -1, j)
         dn = jnp.roll(reference, 1, j)
@@ -80,17 +86,35 @@ def precompute_fields(reference, parent, t_grad, strict_grad: bool):
             axis_flat = (up < reference) & (dn < reference)
         else:
             axis_flat = (up <= reference) & (dn <= reference)
-        grads.append(jnp.where(axis_flat, 0.0, (up - dn) * 0.5))
-    grad = jnp.stack([a.reshape(-1) for a in grads], axis=-1)  # (N, 3)
-    gd = grad @ t_grad.T
-    mg = jnp.max(jnp.abs(gd), axis=-1, keepdims=True)
-    use_ongrid = mg[:, 0] < 1e-14
-    g = gd / jnp.where(mg > 0, mg, 1.0)
+        grad_j = jnp.where(axis_flat, 0.0, (up - dn) * 0.5).reshape(-1)
+        for i in range(3):
+            gd[i] = gd[i] + t_grad[i, j] * grad_j
+    mg = jnp.maximum(jnp.maximum(jnp.abs(gd[0]), jnp.abs(gd[1])),
+                     jnp.abs(gd[2]))
+    use_ongrid = mg < 1e-14
+    denom = jnp.where(mg > 0, mg, 1.0)
+    g = jnp.stack([c / denom for c in gd], axis=-1)  # (N, 3)
     pf = parent.reshape(-1)
     self_idx = jnp.arange(pf.shape[0], dtype=jnp.int32)
     packed = pf | jnp.where(use_ongrid, _ONGRID_BIT, 0) | jnp.where(
         pf == self_idx, _MAX_BIT, 0)
     return g, packed
+
+
+@jax.jit
+def pack_rows(g, packed, stop_flat=None):
+    """(N,4) walk-operand rows: [g0, g1, g2, flags|parent as exact f64].
+
+    The packed int32 (< 2^31) is exactly representable in the f64 lane;
+    the per-call stop set rides bit 30, so each walker step needs exactly
+    one row gather.  Rebuilt per walk call (a bandwidth-bound concat, ~ms)
+    because the stop set changes every refinement iteration.
+    """
+    pk = packed
+    if stop_flat is not None:
+        pk = pk | jnp.where(stop_flat, _STOP_BIT, 0)
+    return jnp.concatenate(
+        [g, pk.astype(g.dtype)[:, None]], axis=1)
 
 
 def _init_state(starts, dtype):
@@ -193,14 +217,14 @@ def _walk_segment(state, rho_flat, parent_flat, stop_flat, t_grad,
     return pos, prev, hist, dr, done
 
 
-@partial(jax.jit, static_argnames=("shape", "max_steps", "has_stop"))
-def _walk_segment_packed(state, g_field, packed_field, stop_flat,
-                         shape: tuple, max_steps: int, has_stop: bool):
-    """Advance live trajectories using precomputed fields (3 gathers/step).
+@partial(jax.jit, static_argnames=("shape", "max_steps"))
+def _walk_segment_packed(state, rows, shape: tuple, max_steps: int):
+    """Advance live trajectories with ONE row gather per step.
 
     Trajectory-for-trajectory identical to :func:`_walk_segment` (the
     per-position quantities are bit-equal precomputes; only ``dr``
-    evolves in the loop).
+    evolves in the loop).  ``rows`` is the (N,4) field of
+    :func:`pack_rows`.
     """
     nx, ny, nz = shape
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
@@ -211,12 +235,11 @@ def _walk_segment_packed(state, g_field, packed_field, stop_flat,
     def unflat(p):
         return jnp.stack([p // (ny * nz), (p // nz) % ny, p % nz], axis=-1)
 
-    def termination(pos, done):
-        pk = jnp.take(packed_field, pos, mode="clip")
-        if has_stop:
-            at_stop = jnp.take(stop_flat, pos, mode="clip")
-            done = done | at_stop
-        return done | ((pk & _MAX_BIT) != 0), pk
+    def fetch(pos, done):
+        row = jnp.take(rows, pos, axis=0, mode="clip")  # (K, 4)
+        pk = row[:, 3].astype(jnp.int32)
+        done = done | ((pk & (_MAX_BIT | _STOP_BIT)) != 0)
+        return done, pk, row[:, :3]
 
     def cond(carry):
         pos, prev, hist, dr, done, step = carry
@@ -224,8 +247,7 @@ def _walk_segment_packed(state, g_field, packed_field, stop_flat,
 
     def body(carry):
         pos, prev, hist, dr, done, step = carry
-        done, pk = termination(pos, done)
-        g = jnp.take(g_field, pos, axis=0, mode="clip")  # (K, 3)
+        done, pk, g = fetch(pos, done)
         use_ongrid = (pk & _ONGRID_BIT) != 0
         ongrid_next = pk & _IDX_MASK
 
@@ -256,7 +278,7 @@ def _walk_segment_packed(state, g_field, packed_field, stop_flat,
     pos, prev, hist, dr, done, _ = jax.lax.while_loop(
         cond, body, (pos, prev, hist, dr, done, jnp.int32(0))
     )
-    done, _ = termination(pos, done)
+    done, _, _ = fetch(pos, done)
     return pos, prev, hist, dr, done
 
 
@@ -336,8 +358,10 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     Same contract and trajectory-identical results.  Two changes against
     the naive lockstep walk:
 
-    - operands are precomputed fields (:func:`precompute_fields`): 3
-      gathers per step instead of ~9 — the walk is gather-latency-bound;
+    - operands are precomputed fields (:func:`precompute_fields`) packed
+      into (N,4) rows (:func:`pack_rows`): ONE gather per step instead of
+      ~9 — the walk is gather-latency-bound and row gathers cost the same
+      as element gathers;
     - walking proceeds in bounded-step slices; after each slice the
       still-running lanes are compacted into the smallest power-of-4
       bucket that holds them, so a step costs the live batch, not the
@@ -358,7 +382,7 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
             rho_flat.reshape(shape), parent_flat.reshape(shape),
             jnp.asarray(t_grad), strict_grad)
     g_field, packed_field = fields
-    has_stop = stop_flat is not None
+    rows = pack_rows(g_field, packed_field, stop_flat)
     k0 = int(starts.shape[0])
     state = _init_state(starts, g_field.dtype)
     out_pos = state[0]
@@ -367,8 +391,7 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     size = k0
 
     def walk_seg(st, seg):
-        return _walk_segment_packed(st, g_field, packed_field, stop_flat,
-                                    shape, seg, has_stop)
+        return _walk_segment_packed(st, rows, shape, seg)
 
     # software-pipelined segment loop: the alive-count fetch for segment i
     # overlaps segment i+1's execution (count describes the PRE-speculation

@@ -194,10 +194,23 @@ def partition_ongrid(reference, vacuum, weights, exact_stencil=False,
 
 
 # Above this voxel count, method='neargrid' initialises with ongrid and
-# runs neargrid edge refinement to convergence instead of walking every
-# voxel's trajectory: identical converged result, ~2 orders of magnitude
-# cheaper (per-voxel trajectory walking is gather-bound on TPU).
+# applies bounded neargrid edge refinement instead of walking every
+# voxel's trajectory (per-voxel trajectory walking is gather-bound on
+# TPU: ~3 gathers/step at ~25M lookups/s makes 56M x ~60-step walks a
+# multi-minute program).
 _NEARGRID_HYBRID_THRESHOLD = 1 << 24
+# The internal refinement budget of that hybrid.  This mirrors the
+# reference's own sanctioned approximation: its 'speed' profile ships
+# ongrid + 3 neargrid refinement iterations in place of the neargrid
+# method (reference entry_points.py:340-345).  Running to convergence
+# instead is NOT the default because flat interstitial regions can keep
+# re-contesting the watershed for dozens of iterations (measured at a
+# dense 384^3: changed counts decay ~0.74x/iteration from 3.2M — an
+# hour-class convergence the reference's default config never pays
+# either); callers who want the converged ground-truth state pass
+# refine_mode=('changed', -1) (the reference's own accuracy-harness
+# definition of truth, examples/compare_methods.py:16).
+_NEARGRID_HYBRID_REFINE = ("changed", 3)
 
 
 def partition_neargrid(reference, vacuum, weights, t_grad,
@@ -209,10 +222,12 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     Order-independent formulation of reference methods.py:222-611 (see
     ops/neargrid.py docstring for the documented deviation).  On grids
     above ~16M voxels (or with full_trajectories=False, or on a multi-chip
-    mesh) the equivalent hybrid is used: ongrid initialisation + neargrid
-    edge refinement run to its fixed point — the same construction as the
-    reference's own 'speed' profile, converging to the same refined state
-    the full-trajectory formulation approximates.
+    mesh) a hybrid substitutes: ongrid initialisation + bounded neargrid
+    edge refinement (_NEARGRID_HYBRID_REFINE — the reference's own
+    'speed'-profile construction), composing with whatever refine_mode
+    the caller runs afterwards.  With refinement run to convergence the
+    hybrid and the full-trajectory formulation land on the same charges
+    (tests/test_hybrid_parity.py).
     """
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
@@ -225,8 +240,8 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         labels, maxima = partition_ongrid(reference, vac, weights, mesh=mesh,
                                           progress=progress)
         labels, _ = refine_labels(
-            "neargrid", ("changed", -1), reference, labels, weights,
-            t_grad, verbose=False, mesh=mesh, progress=progress,
+            "neargrid", _NEARGRID_HYBRID_REFINE, reference, labels,
+            weights, t_grad, verbose=False, mesh=mesh, progress=progress,
         )
         # refinement reassigns edge voxels among the existing basin ids;
         # numbering and the maxima list stay those of the initialisation
