@@ -269,7 +269,7 @@ def run_both(size: int):
 
     n_max, total, _ = partition_e2e()  # warm / compile
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         partition_e2e()
         times.append(time.perf_counter() - t0)
@@ -303,14 +303,15 @@ def run_both(size: int):
         _sync_scalar(dists)
         return n_max, int(changed), float(jnp.sum(charge))
 
+    # single timed run: the persistent XLA cache makes a fresh process
+    # compile-warm after the first bench ever ran on this host, and the
+    # default workload is minutes-scale — a warm+2 scheme blew the
+    # round-2 driver budget
     stats = {}
-    n_max, changed, total = default_e2e(stats)  # warm / compile
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        default_e2e()
-        times.append(time.perf_counter() - t0)
-    print(json.dumps({"size": size, "best": min(times), "n_max": n_max,
+    t0 = time.perf_counter()
+    n_max, changed, total = default_e2e(stats)
+    best = time.perf_counter() - t0
+    print(json.dumps({"size": size, "best": best, "n_max": n_max,
                       "changed": changed, "workload": "default",
                       "refine_stats": stats.get("iterations", [])}),
           flush=True)
@@ -324,7 +325,7 @@ def main():
     serial = measured_baseline()
     baseline_8t = serial * REFERENCE_THREADS
     headline_done = False
-    budget = {384: 300, 512: 420}
+    budget = {384: 420, 512: 560}
     for size in (384, 512):
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), f"--size={size}"],

@@ -339,12 +339,13 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
     return pos, done
 
 
-_LANE_STEP_BUDGET = 48_000_000
+_LANE_STEP_BUDGET = 300_000_000
 # cap on (live lanes x steps) per dispatched segment: a single XLA
 # program whose gathers run for minutes kills the TPU worker through the
-# tunnel (observed at ~2-3 min; 48M lane-steps x 3 gathers / ~25M
-# gathers/s keeps a segment under ~6 s), and shorter early segments also
-# retire the short-path majority before paying long-segment cost
+# tunnel (observed at ~2-3 min with the old 9-gather steps).  At one row
+# gather per step (~30M rows/s) 300M lane-steps keeps a program near
+# ~10 s, and shorter early segments still retire the short-path majority
+# before paying long-segment cost
 
 
 def walk_drain(starts: jax.Array, rho_flat: jax.Array,

@@ -171,3 +171,120 @@ def test_charge_sums_split_f32_matches_f64():
         np.asarray(volume),
         np.asarray([(lab_h == k).sum() for k in range(int(n_max))],
                    dtype=float))
+
+
+@pytest.mark.parametrize("shape,n_blobs,seed,vacuum", CASES)
+def test_scanflood_matches_pointer_doubling(shape, n_blobs, seed, vacuum):
+    """Directional-scan flooding (the production label backend) vs XLA
+    pointer doubling, on-device."""
+    from pybader_tpu.ops import scanflood
+
+    rho_dev, w, vac = _setup(shape, n_blobs, seed, vacuum)
+    bk = ongrid_step_codes(rho_dev, w)
+    if vac is not None:
+        bk = jnp.where(vac, jnp.uint8(13), bk)
+    labels, n_max = scanflood.labels_scanflood(bk, vac)
+    parent = parent_from_step_codes(bk)
+    roots = resolve_roots(parent).reshape(-1)
+    n = roots.shape[0]
+    is_max = (bk == jnp.uint8(13)).reshape(-1)
+    if vac is not None:
+        is_max = is_max & ~vac.reshape(-1)
+    mx_sorted = jnp.sort(
+        jnp.where(is_max, jnp.arange(n, dtype=jnp.int32), jnp.int32(n)))
+    want = jnp.searchsorted(mx_sorted, roots).astype(jnp.int32)
+    if vac is not None:
+        want = jnp.where(vac.reshape(-1), jnp.int32(-1), want)
+    assert n_max == int(jnp.sum(is_max))
+    mism = int(jnp.sum(labels.reshape(-1) != want))
+    assert mism == 0, f"{mism} scanflood label mismatches"
+
+
+def test_permuted_dd_stencil_matches_exact():
+    """A shape the dd stencil can only tile after an axis permutation
+    (nz not a 128-multiple, nx is) must produce exact-f64 step codes
+    through the permuted kernel with original-order tie-breaks."""
+    from pybader_tpu import pipeline
+
+    shape = (256, 120, 136)
+    assert not pallas_stencil.supports_shape(shape)
+    assert pallas_stencil.find_supported_perm(shape) is not None
+    rho = blob_density(shape, 10, 5)
+    w = tuple(g.distance_weights(np.diag([10.0, 9.0, 8.0]), shape))
+    rho_dev = jnp.asarray(rho)
+    bk_fast = pipeline._step_codes_auto(rho_dev, w)
+    bk_exact = ongrid_step_codes(rho_dev, w)
+    mism = int(jnp.sum(bk_fast != bk_exact))
+    assert mism == 0, f"{mism} permuted-stencil mismatches"
+
+
+def test_odd_shape_partition_runs_and_times():
+    """A shape with NO supported permutation (250 has no 8-divisible
+    split) must still partition correctly via the XLA stencil +
+    scanflood; the recorded timing documents the off-path cost."""
+    import time
+
+    from pybader_tpu import pipeline
+    from pybader_tpu.ops import pallas_stencil as ps
+
+    shape = (250, 240, 250)
+    assert ps.find_supported_perm(shape) is None
+    rho = blob_density(shape, 12, 6)
+    w = tuple(g.distance_weights(np.diag([10.0] * 3), shape))
+    rho_dev = jnp.asarray(rho)
+    t0 = time.perf_counter()
+    labels, maxima = pipeline.partition_ongrid(rho_dev, None, w)
+    n_max = len(maxima)
+    dt = time.perf_counter() - t0
+    n = int(np.prod(shape))
+    print(f"\nodd-shape {shape}: {dt:.2f}s cold ({n/dt/1e6:.1f} Mvox/s), "
+          f"{n_max} basins")
+    # correctness vs doubling path
+    bk = ongrid_step_codes(rho_dev, w)
+    parent = parent_from_step_codes(bk)
+    roots = resolve_roots(parent).reshape(-1)
+    is_max = (bk == jnp.uint8(13)).reshape(-1)
+    mx_sorted = jnp.sort(jnp.where(
+        is_max, jnp.arange(n, dtype=jnp.int32), jnp.int32(n)))
+    lab_mo = jnp.searchsorted(mx_sorted, roots).astype(jnp.int32)
+    # compare charges per basin (renumbering differs only by order)
+    from pybader_tpu.ops.reductions import charge_volume_sum
+
+    c1, _ = charge_volume_sum(rho_dev, labels, 1.0, n_max)
+    c2, _ = charge_volume_sum(rho_dev, lab_mo.reshape(shape), 1.0, n_max)
+    np.testing.assert_allclose(np.sort(np.asarray(c1)),
+                               np.sort(np.asarray(c2)), rtol=1e-10)
+
+
+def test_packed_walker_matches_inline_walker():
+    """The one-gather packed walker == the inline 9-gather walker,
+    on-device (refinement semantics, strict gradient)."""
+    from pybader_tpu.ops import edges as edges_ops
+    from pybader_tpu.ops import neargrid as ng
+    from pybader_tpu.ops.reductions import compact_indices
+
+    shape = (96, 64, 128)
+    rho = blob_density(shape, 8, 9)
+    lattice = np.diag([9.0, 8.0, 10.0])
+    w = tuple(g.distance_weights(lattice, shape))
+    tg = jnp.asarray(g.t_grad(lattice, shape))
+    rho_dev = jnp.asarray(rho)
+    bk = ongrid_step_codes(rho_dev, w)
+    parent = parent_from_step_codes(bk)
+    from pybader_tpu import pipeline
+
+    labels, _ = pipeline.partition_ongrid(rho_dev, None, w)
+    known = edges_ops.edge_find(rho_dev, labels, bk == jnp.uint8(13))
+    edge_mask = (known == -2).reshape(-1)
+    n_edges = int(jnp.sum(edge_mask))
+    starts = compact_indices(edge_mask, 1 << 14)
+    stop = (known == 2).reshape(-1)
+    pos_a, done_a = ng.walk(
+        starts, rho_dev.reshape(-1), parent.reshape(-1), stop, tg,
+        shape, strict_grad=True, max_steps=192)
+    pos_b, done_b = ng.walk_drain(
+        starts, rho_dev.reshape(-1), parent.reshape(-1), stop, tg,
+        shape, strict_grad=True, max_steps=192)
+    assert n_edges > 0
+    mism = int(jnp.sum(pos_a != pos_b)) + int(jnp.sum(done_a != done_b))
+    assert mism == 0, f"{mism} walker mismatches packed vs inline"
