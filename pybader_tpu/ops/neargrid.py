@@ -107,14 +107,37 @@ def pack_rows(g, packed, stop_flat=None):
 
     The packed int32 (< 2^31) is exactly representable in the f64 lane;
     the per-call stop set rides bit 30, so each walker step needs exactly
-    one row gather.  Rebuilt per walk call (a bandwidth-bound concat, ~ms)
-    because the stop set changes every refinement iteration.
+    one row gather.
     """
     pk = packed
     if stop_flat is not None:
         pk = pk | jnp.where(stop_flat, _STOP_BIT, 0)
     return jnp.concatenate(
         [g, pk.astype(g.dtype)[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("strict_grad",))
+def precompute_rows(reference, parent, t_grad, strict_grad: bool):
+    """One fused precompute of the (N,4) walk-operand rows (no stop bits).
+
+    Returned WITHOUT the intermediate (N,3) g field staying alive — at
+    512^3 the pair (3.2 GB + 4.3 GB) plus the walker state exceeded HBM.
+    """
+    g, packed = precompute_fields(reference, parent, t_grad, strict_grad)
+    return pack_rows(g, packed, None)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def update_stop(rows, stop_flat):
+    """Re-bake the per-call stop set into the rows, in place (donated).
+
+    The stop set (refinement's known==2 interior) changes every
+    iteration; updating lane 3 in the donated buffer avoids holding two
+    multi-GB row fields alive.
+    """
+    pk = rows[:, 3].astype(jnp.int32) & ~_STOP_BIT
+    pk = pk | jnp.where(stop_flat, _STOP_BIT, 0)
+    return rows.at[:, 3].set(pk.astype(rows.dtype))
 
 
 def _init_state(starts, dtype):
@@ -370,22 +393,26 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
       the first few steps) and grows geometrically for the long tail,
       bounded by a lane-step budget per dispatched program.
 
-    ``fields``: optional (g_field, packed_field) from
-    :func:`precompute_fields` — pass it when walking repeatedly against
-    the same density (refinement iterations).
+    ``fields``: optional (N,4) rows from :func:`precompute_rows` (with
+    any stop bits already baked via :func:`update_stop`) — pass it when
+    walking repeatedly against the same density (refinement iterations);
+    ``stop_flat`` must then be None.
     ``progress``: optional callback(steps_done, n_alive) per segment.
     """
     nx, ny, nz = shape
     if max_steps == 0:
         max_steps = 2 * (nx + ny + nz) + 64
     if fields is None:
-        fields = precompute_fields(
+        rows = precompute_rows(
             rho_flat.reshape(shape), parent_flat.reshape(shape),
             jnp.asarray(t_grad), strict_grad)
-    g_field, packed_field = fields
-    rows = pack_rows(g_field, packed_field, stop_flat)
+        if stop_flat is not None:
+            rows = update_stop(rows, stop_flat)
+    else:
+        assert stop_flat is None, "bake stop bits via update_stop"
+        rows = fields
     k0 = int(starts.shape[0])
-    state = _init_state(starts, g_field.dtype)
+    state = _init_state(starts, rows.dtype)
     out_pos = state[0]
     out_done = state[4]
     orig = None  # lane -> original index map once compacted

@@ -250,7 +250,7 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     parent, bk = _parent_and_codes(reference, vac, weights)
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
     t_grad = jnp.asarray(t_grad)
-    fields = neargrid_ops.precompute_fields(
+    rows = neargrid_ops.precompute_rows(
         reference, parent, t_grad, strict_grad=False)
 
     vac_h = None if vac is None else np.asarray(vac).reshape(-1)
@@ -271,7 +271,7 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         padded = neargrid_ops.pad_starts(chunk)
         pos, done = neargrid_ops.walk_drain(
             jnp.asarray(padded), None, None, None, t_grad,
-            shape, strict_grad=False, progress=tick, fields=fields,
+            shape, strict_grad=False, progress=tick, fields=rows,
         )
         # step-cap stragglers resolve through their ongrid root (a maximum)
         if not bool(jnp.all(done)):
@@ -385,16 +385,17 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             )
         else:
             if walk_fields is None:
-                walk_fields = neargrid_ops.precompute_fields(
+                walk_fields = neargrid_ops.precompute_rows(
                     reference, parent, t_grad, strict_grad=True)
-            stop_flat = (known == 2).reshape(-1)
+            walk_fields = neargrid_ops.update_stop(
+                walk_fields, (known == 2).reshape(-1))
             wkw = {}
             if progress is not None:
                 wkw["progress"] = lambda s, alive: progress(
                     f"iteration {it}: step {s}, {alive}/{n_edges} edges "
                     f"walking")
             pos, done = neargrid_ops.walk_drain(
-                starts_dev_padded, None, None, stop_flat,
+                starts_dev_padded, None, None, None,
                 t_grad, shape, strict_grad=True, max_steps=192,
                 fields=walk_fields, **wkw,
             )
