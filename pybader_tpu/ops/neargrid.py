@@ -56,27 +56,8 @@ _IDX_MASK = jnp.int32((1 << 28) - 1)
 
 
 @partial(jax.jit, static_argnames=("strict_grad",))
-def precompute_fields(reference, parent, t_grad, strict_grad: bool):
-    """Per-voxel walk operands as gatherable fields (one stencil pass).
-
-    The neargrid step direction is a pure function of the voxel: the
-    central-difference gradient, its axis-flat zeroing, the T_grad
-    transform and the inf-norm normalisation don't depend on the
-    trajectory (only ``dr`` does).  Precomputing them turns the walker's
-    ~9 gathers per step (6 axis densities + centre + parent + stop) into
-    ONE: the walk is gather-latency-bound on TPU and a row gather of a
-    few f64 lanes costs the same as a single-element gather (measured
-    30.9M rows/s vs 32.6M f64 elements/s at 16M lanes), so g and the
-    packed parent+flags ride one (N,4) row (see :func:`pack_rows`).
-
-    returns (g (N,3) with unit inf-norm — the exact value the in-line
-    walker computed, packed (N,) int32: parent index | ONGRID_BIT if
-    |grad| ~ 0 | MAX_BIT if parent == self).
-    """
-    nx, ny, nz = reference.shape
-    # accumulate gd = grad @ T.T one gradient component at a time: keeps
-    # the live set to ~4 grid-sized f64 buffers instead of ~8 (a full
-    # (N,3) grad stack next to gd peaked HBM at 512^3-scale workloads)
+def _gd_components(reference, t_grad, strict_grad: bool):
+    """gd = grad @ T.T as three (N,) columns (bounded live set)."""
     gd = [jnp.zeros(reference.size, dtype=reference.dtype)
           for _ in range(3)]
     for j in range(3):
@@ -89,42 +70,34 @@ def precompute_fields(reference, parent, t_grad, strict_grad: bool):
         grad_j = jnp.where(axis_flat, 0.0, (up - dn) * 0.5).reshape(-1)
         for i in range(3):
             gd[i] = gd[i] + t_grad[i, j] * grad_j
-    mg = jnp.maximum(jnp.maximum(jnp.abs(gd[0]), jnp.abs(gd[1])),
-                     jnp.abs(gd[2]))
+    return tuple(gd)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _normalize_pack(gd0, gd1, gd2, parent_flat):
+    """Donated gd columns -> (N,4) rows [g, packed-as-f64]."""
+    mg = jnp.maximum(jnp.maximum(jnp.abs(gd0), jnp.abs(gd1)),
+                     jnp.abs(gd2))
     use_ongrid = mg < 1e-14
     denom = jnp.where(mg > 0, mg, 1.0)
-    g = jnp.stack([c / denom for c in gd], axis=-1)  # (N, 3)
-    pf = parent.reshape(-1)
-    self_idx = jnp.arange(pf.shape[0], dtype=jnp.int32)
-    packed = pf | jnp.where(use_ongrid, _ONGRID_BIT, 0) | jnp.where(
-        pf == self_idx, _MAX_BIT, 0)
-    return g, packed
+    self_idx = jnp.arange(parent_flat.shape[0], dtype=jnp.int32)
+    packed = parent_flat | jnp.where(use_ongrid, _ONGRID_BIT, 0) \
+        | jnp.where(parent_flat == self_idx, _MAX_BIT, 0)
+    return jnp.stack(
+        [gd0 / denom, gd1 / denom, gd2 / denom,
+         packed.astype(gd0.dtype)], axis=-1)
 
 
-@jax.jit
-def pack_rows(g, packed, stop_flat=None):
-    """(N,4) walk-operand rows: [g0, g1, g2, flags|parent as exact f64].
-
-    The packed int32 (< 2^31) is exactly representable in the f64 lane;
-    the per-call stop set rides bit 30, so each walker step needs exactly
-    one row gather.
-    """
-    pk = packed
-    if stop_flat is not None:
-        pk = pk | jnp.where(stop_flat, _STOP_BIT, 0)
-    return jnp.concatenate(
-        [g, pk.astype(g.dtype)[:, None]], axis=1)
-
-
-@partial(jax.jit, static_argnames=("strict_grad",))
 def precompute_rows(reference, parent, t_grad, strict_grad: bool):
-    """One fused precompute of the (N,4) walk-operand rows (no stop bits).
+    """(N,4) walk-operand rows (no stop bits), built in bounded stages.
 
-    Returned WITHOUT the intermediate (N,3) g field staying alive — at
-    512^3 the pair (3.2 GB + 4.3 GB) plus the walker state exceeded HBM.
+    A single fused build peaked HBM at 512^3 (gradient temporaries + the
+    (N,3) g stack + the 4.3 GB rows output together); staging with donated
+    gd columns caps the peak at ~(rows + 3 columns).
     """
-    g, packed = precompute_fields(reference, parent, t_grad, strict_grad)
-    return pack_rows(g, packed, None)
+    gd0, gd1, gd2 = _gd_components(reference, jnp.asarray(t_grad),
+                                   strict_grad)
+    return _normalize_pack(gd0, gd1, gd2, parent.reshape(-1))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -382,10 +355,12 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     Same contract and trajectory-identical results.  Two changes against
     the naive lockstep walk:
 
-    - operands are precomputed fields (:func:`precompute_fields`) packed
-      into (N,4) rows (:func:`pack_rows`): ONE gather per step instead of
-      ~9 — the walk is gather-latency-bound and row gathers cost the same
-      as element gathers;
+    - operands are precomputed (N,4) rows (:func:`precompute_rows`:
+      gradient, T_grad transform, inf-norm normalisation and the packed
+      parent/flags word — all pure functions of the voxel): ONE row
+      gather per step instead of ~9 — the walk is gather-latency-bound
+      and a few-lane f64 row gather costs the same as a single element
+      (measured 30.9M rows/s vs 32.6M f64 elements/s at 16M lanes);
     - walking proceeds in bounded-step slices; after each slice the
       still-running lanes are compacted into the smallest power-of-4
       bucket that holds them, so a step costs the live batch, not the

@@ -337,6 +337,14 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     parent, bk = _parent_and_codes(reference, vac, weights)
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
     walk_fields = None  # packed walker operands, built on first walk
+    if not multi:
+        # build the rows early and DROP the parent grid: its bits live in
+        # the rows, the cap-fire root fallback recomputes it (or uses the
+        # scan flood straight from bk), and at 512^3 the extra 0.5 GB
+        # matters next to the 4.3 GB rows buffer
+        walk_fields = neargrid_ops.precompute_rows(
+            reference, parent, t_grad, strict_grad=True)
+        parent = None
     # local maximum <=> self ascent step: lets the edge stencils skip 26
     # rolls of the f64 density grid (ops/edges._edge_and_max)
     is_max = (bk == jnp.uint8(13)) & ~vac
@@ -384,9 +392,6 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 t_grad, strict_grad=True, max_steps=192,
             )
         else:
-            if walk_fields is None:
-                walk_fields = neargrid_ops.precompute_rows(
-                    reference, parent, t_grad, strict_grad=True)
             walk_fields = neargrid_ops.update_stop(
                 walk_fields, (known == 2).reshape(-1))
             wkw = {}
@@ -394,11 +399,25 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 wkw["progress"] = lambda s, alive: progress(
                     f"iteration {it}: step {s}, {alive}/{n_edges} edges "
                     f"walking")
-            pos, done = neargrid_ops.walk_drain(
-                starts_dev_padded, None, None, None,
-                t_grad, shape, strict_grad=True, max_steps=192,
-                fields=walk_fields, **wkw,
-            )
+            # bound per-walk state: 512^3-class edge sets (13M+) next to
+            # the 4.3 GB rows buffer exceed HBM if walked in one bucket
+            chunk_cap = 1 << 23
+            if size > chunk_cap:
+                parts = []
+                for lo2 in range(0, size, chunk_cap):
+                    parts.append(neargrid_ops.walk_drain(
+                        starts_dev_padded[lo2:lo2 + chunk_cap],
+                        None, None, None, t_grad, shape,
+                        strict_grad=True, max_steps=192,
+                        fields=walk_fields, **wkw))
+                pos = jnp.concatenate([p for p, _ in parts])
+                done = jnp.concatenate([d for _, d in parts])
+            else:
+                pos, done = neargrid_ops.walk_drain(
+                    starts_dev_padded, None, None, None,
+                    t_grad, shape, strict_grad=True, max_steps=192,
+                    fields=walk_fields, **wkw,
+                )
         n_capped = int(jnp.sum(~done[:n_edges])) if not bool(
             jnp.all(done)) else 0
         if n_capped:
@@ -417,6 +436,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     roots_flat = sharded_chase(
                         mesh, parent, bk).reshape(-1)
                 else:
+                    if parent is None:  # dropped after the row precompute
+                        parent = parent_from_step_codes(bk)
                     roots_flat = resolve_roots_auto(parent, bk).reshape(-1)
             pos = jnp.where(done, pos,
                             jnp.take(roots_flat, pos, mode="clip"))
