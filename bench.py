@@ -229,9 +229,12 @@ def measured_baseline():
         return FALLBACK_SERIAL_VOX_PER_SEC
 
 
-def run_both(size: int):
-    """Both workloads for one size in one process; prints one JSON line per
-    workload on stdout the moment it completes."""
+def run_workloads(size: int, which: str):
+    """Run the selected workload(s) for one size; prints one JSON line per
+    workload on stdout the moment it completes.  The driver launches one
+    subprocess per (size, workload) so a multi-GB workload starts from a
+    clean HBM allocator (the 512^3 default next to the partition's
+    leftovers exceeded HBM)."""
     import jax.numpy as jnp
 
     _enable_cache()
@@ -267,14 +270,18 @@ def run_both(size: int):
             rho_dev, labels, 1.0, n_max)
         return n_max, float(jnp.sum(charge)), counts
 
-    n_max, total, _ = partition_e2e()  # warm / compile
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        partition_e2e()
-        times.append(time.perf_counter() - t0)
-    print(json.dumps({"size": size, "best": min(times), "n_max": n_max,
-                      "total": total, "workload": "partition"}), flush=True)
+    if which in ("partition", "both"):
+        n_max, total, _ = partition_e2e()  # warm / compile
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            partition_e2e()
+            times.append(time.perf_counter() - t0)
+        print(json.dumps({"size": size, "best": min(times),
+                          "n_max": n_max, "total": total,
+                          "workload": "partition"}), flush=True)
+    if which == "partition":
+        return
 
     # ---- workload 2: default acceptance pipeline
     def default_e2e(stats=None):
@@ -319,24 +326,30 @@ def run_both(size: int):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1].startswith("--size="):
-        run_both(int(sys.argv[1].split("=")[1]))
+        size = int(sys.argv[1].split("=")[1])
+        which = sys.argv[2] if len(sys.argv) > 2 else "both"
+        run_workloads(size, which)
         return
 
     serial = measured_baseline()
     baseline_8t = serial * REFERENCE_THREADS
     headline_done = False
-    budget = {384: 420, 512: 560}
-    for size in (384, 512):
+    budget = {(384, "partition"): 180, (384, "default"): 300,
+              (512, "partition"): 200, (512, "default"): 420}
+    for size, which in ((384, "partition"), (512, "partition"),
+                        (384, "default"), (512, "default")):
         proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), f"--size={size}"],
+            [sys.executable, os.path.abspath(__file__), f"--size={size}",
+             which],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        deadline = time.time() + budget[size]
+        deadline = time.time() + budget[(size, which)]
         try:
             while True:
                 if time.time() > deadline:
                     proc.kill()
-                    print(f"  size {size} exceeded {budget[size]}s budget",
+                    print(f"  {which} {size}^3 exceeded "
+                          f"{budget[(size, which)]}s budget",
                           file=sys.stderr)
                     break
                 line = proc.stdout.readline()
@@ -376,7 +389,7 @@ def main():
                 proc.kill()
             err = proc.stderr.read()
             if err and proc.returncode not in (0, None):
-                print(f"  size {size} stderr tail:\n{err[-1500:]}",
+                print(f"  {which} {size}^3 stderr tail:\n{err[-1500:]}",
                       file=sys.stderr)
     if not headline_done:
         print(json.dumps({

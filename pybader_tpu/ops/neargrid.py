@@ -73,31 +73,52 @@ def _gd_components(reference, t_grad, strict_grad: bool):
     return tuple(gd)
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _normalize_pack(gd0, gd1, gd2, parent_flat):
-    """Donated gd columns -> (N,4) rows [g, packed-as-f64]."""
+@jax.jit
+def _denom_flags(gd0, gd1, gd2):
     mg = jnp.maximum(jnp.maximum(jnp.abs(gd0), jnp.abs(gd1)),
                      jnp.abs(gd2))
-    use_ongrid = mg < 1e-14
-    denom = jnp.where(mg > 0, mg, 1.0)
-    self_idx = jnp.arange(parent_flat.shape[0], dtype=jnp.int32)
-    packed = parent_flat | jnp.where(use_ongrid, _ONGRID_BIT, 0) \
-        | jnp.where(parent_flat == self_idx, _MAX_BIT, 0)
-    return jnp.stack(
-        [gd0 / denom, gd1 / denom, gd2 / denom,
-         packed.astype(gd0.dtype)], axis=-1)
+    return jnp.where(mg > 0, mg, 1.0), mg < 1e-14
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _div_inplace(x, denom):
+    return x / denom
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("j",))
+def _set_col(rows, col, j: int):
+    return rows.at[:, j].set(col.astype(rows.dtype))
 
 
 def precompute_rows(reference, parent, t_grad, strict_grad: bool):
     """(N,4) walk-operand rows (no stop bits), built in bounded stages.
 
-    A single fused build peaked HBM at 512^3 (gradient temporaries + the
-    (N,3) g stack + the 4.3 GB rows output together); staging with donated
-    gd columns caps the peak at ~(rows + 3 columns).
+    The build is HBM-critical at 512^3 (the rows are 4.3 GB next to three
+    1.07 GB gd columns and the density): every step either donates its
+    operand in place (column normalisation, column writes into the rows
+    buffer) or frees its inputs immediately, so the peak stays near
+    (rows + gd columns) instead of roughly double that in the fused
+    single-jit form (which also could not alias (N,)->(N,4) donations).
     """
-    gd0, gd1, gd2 = _gd_components(reference, jnp.asarray(t_grad),
-                                   strict_grad)
-    return _normalize_pack(gd0, gd1, gd2, parent.reshape(-1))
+    gd = list(_gd_components(reference, jnp.asarray(t_grad), strict_grad))
+    denom, use_ongrid = _denom_flags(*gd)
+    n = gd[0].shape[0]
+    rows = jnp.zeros((n, 4), dtype=gd[0].dtype)
+    for j in range(3):
+        col = _div_inplace(gd[j], denom)
+        gd[j] = None
+        rows = _set_col(rows, col, j)
+        del col
+    del denom
+    packed = _pack_parent(parent.reshape(-1), use_ongrid)
+    return _set_col(rows, packed, 3)
+
+
+@jax.jit
+def _pack_parent(parent_flat, use_ongrid):
+    self_idx = jnp.arange(parent_flat.shape[0], dtype=jnp.int32)
+    return parent_flat | jnp.where(use_ongrid, _ONGRID_BIT, 0) \
+        | jnp.where(parent_flat == self_idx, _MAX_BIT, 0)
 
 
 @partial(jax.jit, donate_argnums=(0,))

@@ -212,6 +212,11 @@ _NEARGRID_HYBRID_THRESHOLD = 1 << 24
 # definition of truth, examples/compare_methods.py:16).
 _NEARGRID_HYBRID_REFINE = ("changed", 3)
 
+# Largest changed-set 27-neighbourhood candidate list the refinement loop
+# will materialise for the sorted-filter fast path; bigger changed sets
+# fall back to the full-grid compaction sort (bounded at n int32 keys).
+_CAND_CAP = 1 << 26
+
 
 def partition_neargrid(reference, vacuum, weights, t_grad,
                        batch: int = _WALK_BATCH,
@@ -468,12 +473,24 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             known = edges_ops.edge_find(reference, labels, is_max)
         else:
             known = edges_ops.edge_check(known, reference, labels, is_max)
-            if not multi:
+            if not multi and changed * 27 <= _CAND_CAP:
                 # the next edge set is a subset of the changed set's
                 # 27-neighbourhoods: filter that small candidate list
-                # instead of compaction-sorting the full grid
-                cand = edges_ops.neighbors27_flat(
-                    jnp.where(changed_mask, starts_dev, -1), shape)
+                # instead of compaction-sorting the full grid.  The
+                # changed starts are first compacted to a power-of-two
+                # bucket (``changed`` is already a host int) so the 27x
+                # expansion sorts ~27*changed keys, not 27*n_edges; above
+                # _CAND_CAP candidate entries the expansion itself is
+                # HBM-hostile (a 512^3 iteration-1 changed set OOMed next
+                # to the 4.3 GB rows buffer) and the bounded full-grid
+                # compaction sort takes over instead.
+                big = jnp.int32(np.iinfo(np.int32).max)
+                cpow = max(4096, 1 << (changed - 1).bit_length())
+                ch_starts = jnp.sort(
+                    jnp.where(changed_mask, starts_dev, big))[:cpow]
+                ch_starts = jnp.where(ch_starts == big, jnp.int32(-1),
+                                      ch_starts)
+                cand = edges_ops.neighbors27_flat(ch_starts, shape)
                 starts_small = edges_ops.filter_edges_sorted(
                     cand, known.reshape(-1))
     return labels, total_changed
