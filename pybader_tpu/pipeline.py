@@ -143,13 +143,13 @@ def renumber_discovery(labels_mo, is_max, vac, n_max: int, iota):
 
     shape = labels_mo.shape
     nx, ny, nz = shape
-    first_member, max_pos = reductions.masked_min_pair(
+    first_member, max_pos = reductions.min_pair_iota(
         iota, labels_mo, is_max, n_max
     )
     first_h = np.asarray(first_member)
     order = np.argsort(first_h, kind="stable").astype(np.int32)
     rank = np.argsort(order, kind="stable").astype(np.int32)
-    labels = reductions.remap_sweep(labels_mo, jnp.asarray(rank), n_max)
+    labels = reductions.remap_labels(labels_mo, jnp.asarray(rank), n_max)
     max_flat = np.asarray(max_pos)[order]
     maxima = np.stack(
         [max_flat // (ny * nz), (max_flat // nz) % ny, max_flat % nz],
