@@ -90,20 +90,72 @@ def _set_col(rows, col, j: int):
     return rows.at[:, j].set(col.astype(rows.dtype))
 
 
-def precompute_rows(reference, parent, t_grad, strict_grad: bool):
+def _rows_dtype(n: int):
+    """Walk-operand row dtype policy.
+
+    f32 rows on TPU: the row gather is the walker's unit cost and is
+    BYTE-bound (measured ~1.26 GB/s effective whatever the layout:
+    f64x4 39M rows/s, f32x4 79M rows/s at 16M lanes, with the fixed
+    per-gather floor also 3x lower) — halving the row halves the walk.
+    The f32 ``g`` quantises the step thresholds once at precompute
+    (|err| ~1e-7 of the inf-normalised gradient) and ``dr`` accumulates
+    in f32 (~1e-8/step), so only trajectories within ~1e-7 of a 0.5
+    rounding boundary can differ from the f64 walk — numerical knife
+    edges with no physical meaning, measured at a handful of voxels per
+    million on the dense bench field (tpu_tests).  CPU (the oracle-
+    parity test path) and grids too large for the bitcast-packed parent
+    word (>= 2^28 voxels) keep exact f64 rows.
+    """
+    if jax.default_backend() != "cpu" and n < (1 << 28):
+        return jnp.float32
+    return jnp.float64
+
+
+def _set_packed_col(rows, packed):
+    """Store the int32 packed-parent word into lane 3 bit-exactly.
+
+    f32 rows: bitcast (a value cast would round away the flag bits above
+    2^24; gathers and slice-updates move bytes, so the patterns —
+    including denormal-range ones — survive data movement); f64 rows:
+    value cast (exact for < 2^52).  Plain function: callers jit it with
+    their own donation.
+    """
+    if rows.dtype == jnp.float32:
+        col = jax.lax.bitcast_convert_type(packed, jnp.float32)
+    else:
+        col = packed.astype(rows.dtype)
+    return rows.at[:, 3].set(col)
+
+
+_store_packed = jax.jit(_set_packed_col, donate_argnums=(0,))
+
+
+def _packed_of(rows_col):
+    """Read the packed-parent word back from lane 3 (inverse of
+    :func:`_set_packed_col`)."""
+    if rows_col.dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(rows_col, jnp.int32)
+    return rows_col.astype(jnp.int32)
+
+
+def precompute_rows(reference, parent, t_grad, strict_grad: bool,
+                    dtype=None):
     """(N,4) walk-operand rows (no stop bits), built in bounded stages.
 
-    The build is HBM-critical at 512^3 (the rows are 4.3 GB next to three
-    1.07 GB gd columns and the density): every step either donates its
-    operand in place (column normalisation, column writes into the rows
-    buffer) or frees its inputs immediately, so the peak stays near
+    The build is HBM-critical at 512^3 (the f64 rows are 4.3 GB next to
+    three 1.07 GB gd columns and the density): every step either donates
+    its operand in place (column normalisation, column writes into the
+    rows buffer) or frees its inputs immediately, so the peak stays near
     (rows + gd columns) instead of roughly double that in the fused
     single-jit form (which also could not alias (N,)->(N,4) donations).
+    ``dtype`` defaults to the :func:`_rows_dtype` policy (f32 on TPU).
     """
     gd = list(_gd_components(reference, jnp.asarray(t_grad), strict_grad))
     denom, use_ongrid = _denom_flags(*gd)
     n = gd[0].shape[0]
-    rows = jnp.zeros((n, 4), dtype=gd[0].dtype)
+    if dtype is None:
+        dtype = _rows_dtype(n)
+    rows = jnp.zeros((n, 4), dtype=dtype)
     for j in range(3):
         col = _div_inplace(gd[j], denom)
         gd[j] = None
@@ -111,7 +163,7 @@ def precompute_rows(reference, parent, t_grad, strict_grad: bool):
         del col
     del denom
     packed = _pack_parent(parent.reshape(-1), use_ongrid)
-    return _set_col(rows, packed, 3)
+    return _store_packed(rows, packed)
 
 
 @jax.jit
@@ -129,9 +181,9 @@ def update_stop(rows, stop_flat):
     iteration; updating lane 3 in the donated buffer avoids holding two
     multi-GB row fields alive.
     """
-    pk = rows[:, 3].astype(jnp.int32) & ~_STOP_BIT
+    pk = _packed_of(rows[:, 3]) & ~_STOP_BIT
     pk = pk | jnp.where(stop_flat, _STOP_BIT, 0)
-    return rows.at[:, 3].set(pk.astype(rows.dtype))
+    return _set_packed_col(rows, pk)
 
 
 def _init_state(starts, dtype):
@@ -234,14 +286,18 @@ def _walk_segment(state, rho_flat, parent_flat, stop_flat, t_grad,
     return pos, prev, hist, dr, done
 
 
-@partial(jax.jit, static_argnames=("shape", "max_steps"))
-def _walk_segment_packed(state, rows, shape: tuple, max_steps: int):
+@partial(jax.jit, static_argnames=("shape",))
+def _walk_segment_packed(state, rows, shape: tuple, max_steps):
     """Advance live trajectories with ONE row gather per step.
 
     Trajectory-for-trajectory identical to :func:`_walk_segment` (the
     per-position quantities are bit-equal precomputes; only ``dr``
     evolves in the loop).  ``rows`` is the (N,4) field of
-    :func:`pack_rows`.
+    :func:`pack_rows`.  ``max_steps`` is a TRACED scalar: each bucket
+    size compiles exactly once, whatever segment schedule the drain
+    loop picks (static step counts multiplied compile time by the
+    number of distinct (size, steps) pairs — measured minutes of tunnel
+    compiles per refinement run).
     """
     nx, ny, nz = shape
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
@@ -254,13 +310,15 @@ def _walk_segment_packed(state, rows, shape: tuple, max_steps: int):
 
     def fetch(pos, done):
         row = jnp.take(rows, pos, axis=0, mode="clip")  # (K, 4)
-        pk = row[:, 3].astype(jnp.int32)
+        pk = _packed_of(row[:, 3])
         done = done | ((pk & (_MAX_BIT | _STOP_BIT)) != 0)
         return done, pk, row[:, :3]
 
+    limit = jnp.asarray(max_steps, jnp.int32)
+
     def cond(carry):
         pos, prev, hist, dr, done, step = carry
-        return (~jnp.all(done)) & (step < max_steps)
+        return (~jnp.all(done)) & (step < limit)
 
     def body(carry):
         pos, prev, hist, dr, done, step = carry
@@ -370,7 +428,7 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
                t_grad: jax.Array, shape: tuple,
                strict_grad: bool = False, max_steps: int = 0,
                segments=(4, 4, 8, 16, 32, 64), min_batch: int = 4096,
-               progress=None, fields=None):
+               progress=None, fields=None, rows_dtype=None):
     """:func:`walk` with packed operands and tail-latency drain.
 
     Same contract and trajectory-identical results.  Two changes against
@@ -401,7 +459,7 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     if fields is None:
         rows = precompute_rows(
             rho_flat.reshape(shape), parent_flat.reshape(shape),
-            jnp.asarray(t_grad), strict_grad)
+            jnp.asarray(t_grad), strict_grad, dtype=rows_dtype)
         if stop_flat is not None:
             rows = update_stop(rows, stop_flat)
     else:
@@ -444,10 +502,12 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
         if n_alive == 0:
             break
         count_dev = jnp.sum(~state[4])
-        # shrink the batch once the live set fits a 4x smaller bucket
+        # shrink the batch once the live set fits a 2x smaller bucket
+        # (power-of-two buckets; the traced step bound means each size
+        # compiles once ever, so there is no compile-count reason to
+        # quantize coarser — pow-4 buckets measured 3.1x padded-lane
+        # waste on a 7.3M-edge refinement walk)
         new_size = max(min_batch, 1 << (max(n_alive, 1) - 1).bit_length())
-        if new_size.bit_length() % 2 == 0:
-            new_size <<= 1  # powers of 4: fewer compile buckets
         if new_size < size and size > min_batch:
             if orig is not None:
                 out_pos, out_done = _scatter_back(
@@ -468,17 +528,14 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
 
 
 def pad_starts(idx, min_size: int = 4096):
-    """Pad a flat index list to the next power-of-four length with -1.
+    """Pad a flat index list to the next power-of-two length with -1.
 
     Bucketing lengths limits jit recompilation of the walker across
-    refinement iterations.
+    refinement iterations (one compile per bucket size; the step bound
+    is traced).
     """
     n = max(int(len(idx)), 1)
     size = max(min_size, 1 << (n - 1).bit_length())
-    # coarsen to powers of 4: each distinct walker size costs a fresh XLA
-    # compile, and refinement iterations shrink the edge set every round
-    if size.bit_length() % 2 == 0:
-        size <<= 1
     out = np.full(size, -1, dtype=np.int32)
     out[: len(idx)] = idx
     return out

@@ -376,8 +376,6 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         from pybader_tpu.ops.reductions import compact_indices
 
         size = max(4096, 1 << (n_edges - 1).bit_length())
-        if size.bit_length() % 2 == 0:
-            size <<= 1  # powers of 4: fewer walker compile buckets
         if starts_small is not None:
             starts_dev_padded = _fit_starts(starts_small[0], size)
         else:
