@@ -310,16 +310,28 @@ def run_workloads(size: int, which: str):
         _sync_scalar(dists)
         return n_max, int(changed), float(jnp.sum(charge))
 
-    # single timed run: the persistent XLA cache makes a fresh process
-    # compile-warm after the first bench ever ran on this host, and the
-    # default workload is minutes-scale — a warm+2 scheme blew the
-    # round-2 driver budget
+    # warm + timed: a fresh process pays ~0.5 s of executable-load /
+    # first-dispatch cost per program even with every XLA compile in the
+    # persistent cache (measured 215 s first pass vs 69 s steady-state at
+    # 384^3 across the ~100 programs of this pipeline), so a single-run
+    # number measures the harness, not the pipeline.  Both numbers are
+    # reported: ``cold`` (first pass, what a one-shot CLI user sees with
+    # a warm compile cache) and ``best`` (steady state).
     stats = {}
     t0 = time.perf_counter()
     n_max, changed, total = default_e2e(stats)
+    cold = time.perf_counter() - t0
+    print(json.dumps({"size": size, "best": cold, "cold": cold,
+                      "n_max": n_max, "changed": changed,
+                      "workload": "default",
+                      "refine_stats": stats.get("iterations", []),
+                      "provisional": True}), flush=True)
+    t0 = time.perf_counter()
+    n_max, changed, total = default_e2e()
     best = time.perf_counter() - t0
-    print(json.dumps({"size": size, "best": best, "n_max": n_max,
-                      "changed": changed, "workload": "default",
+    print(json.dumps({"size": size, "best": best, "cold": cold,
+                      "n_max": n_max, "changed": changed,
+                      "workload": "default",
                       "refine_stats": stats.get("iterations", [])}),
           flush=True)
 
@@ -334,8 +346,8 @@ def main():
     serial = measured_baseline()
     baseline_8t = serial * REFERENCE_THREADS
     headline_done = False
-    budget = {(384, "partition"): 180, (384, "default"): 300,
-              (512, "partition"): 200, (512, "default"): 420}
+    budget = {(384, "partition"): 180, (384, "default"): 420,
+              (512, "partition"): 200, (512, "default"): 600}
     for size, which in ((384, "partition"), (512, "partition"),
                         (384, "default"), (512, "default")):
         proc = subprocess.Popen(
@@ -366,9 +378,12 @@ def main():
                     it = ["/".join(map(str, t)) for t in r["refine_stats"]]
                     extra = (f", refine edges/changed/capped per iter: "
                              f"{'; '.join(it)}")
+                if "cold" in r and r["cold"] != r["best"]:
+                    extra += f", first pass {r['cold']:.3f}s"
+                tag = " (first pass)" if r.get("provisional") else ""
                 print(
-                    f"  {r['workload']} {size}^3: {r['best']:.3f}s e2e, "
-                    f"{n / r['best'] / 1e6:.1f} Mvox/s, "
+                    f"  {r['workload']}{tag} {size}^3: {r['best']:.3f}s "
+                    f"e2e, {n / r['best'] / 1e6:.1f} Mvox/s, "
                     f"{r['n_max']} basins{extra}",
                     file=sys.stderr,
                 )

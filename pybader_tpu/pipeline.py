@@ -471,17 +471,21 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             known = edges_ops.edge_find(reference, labels, is_max)
         else:
             known = edges_ops.edge_check(known, reference, labels, is_max)
-            if not multi and changed * 27 <= _CAND_CAP:
+            n_grid = int(np.prod(shape))
+            if not multi and changed * 27 <= min(_CAND_CAP, n_grid // 4):
                 # the next edge set is a subset of the changed set's
                 # 27-neighbourhoods: filter that small candidate list
                 # instead of compaction-sorting the full grid.  The
                 # changed starts are first compacted to a power-of-two
                 # bucket (``changed`` is already a host int) so the 27x
-                # expansion sorts ~27*changed keys, not 27*n_edges; above
-                # _CAND_CAP candidate entries the expansion itself is
+                # expansion sorts ~27*changed keys, not 27*n_edges.  Two
+                # caps: above _CAND_CAP entries the expansion is
                 # HBM-hostile (a 512^3 iteration-1 changed set OOMed next
-                # to the 4.3 GB rows buffer) and the bounded full-grid
-                # compaction sort takes over instead.
+                # to the rows buffer), and above ~n/4 entries the
+                # filter's 27*changed-element known-gather (~45M/s) costs
+                # more than the bounded full-grid compaction sort it
+                # replaces (measured 1.35 s vs 0.19 s at 384^3 with a
+                # 1.15M changed set).
                 big = jnp.int32(np.iinfo(np.int32).max)
                 cpow = max(4096, 1 << (changed - 1).bit_length())
                 ch_starts = jnp.sort(

@@ -303,3 +303,36 @@ def test_packed_walker_matches_inline_walker():
     assert diff <= max(4, n_edges // 1000), (
         f"f32-row walk diverges from f64 on {diff}/{n_edges} edges")
     print(f"    (f32-row walk: {diff}/{n_edges} knife-edge label diffs)")
+
+
+def test_pallas_label_reductions_match_xla():
+    """Pallas per-label min-pair/remap kernels vs the XLA masked sweeps,
+    on-device, including a non-128-multiple flat size (padding path)."""
+    from pybader_tpu.ops import pallas_reduce as pr
+    from pybader_tpu.ops import reductions as red
+
+    shape = (96, 72, 120)  # 829440 voxels: not a multiple of 128
+    rho = blob_density(shape, 12, 13)
+    w = tuple(g.distance_weights(np.diag([9.0, 7.0, 11.0]), shape))
+    rho_dev = jnp.asarray(rho)
+    bk = ongrid_step_codes(rho_dev, w)
+    from pybader_tpu import pipeline
+
+    labels, maxima = pipeline.partition_ongrid(rho_dev, None, w)
+    n_max = len(maxima)
+    is_max = bk == jnp.uint8(13)
+    iota = jnp.arange(rho_dev.size, dtype=jnp.int32)
+    mn, mm = pr.min_pair(labels, is_max, n_max)
+    mn0, mm0 = red.masked_min_pair(iota, labels.reshape(-1),
+                                   is_max.reshape(-1), n_max)
+    np.testing.assert_array_equal(np.asarray(mn), np.asarray(mn0))
+    np.testing.assert_array_equal(np.asarray(mm), np.asarray(mm0))
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.permutation(n_max).astype(np.int32))
+    r1 = pr.remap(labels, table, n_max)
+    r0 = red.remap_sweep(labels, table, n_max)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+    c1, v1 = pr.charge_volume(rho_dev, labels, 1.0, n_max)
+    c0, v0 = red._charge_volume_sum_xla(rho_dev, labels, 1.0, n_max)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
