@@ -357,6 +357,34 @@ def _walk_segment_packed(state, rows, shape: tuple, max_steps):
     return pos, prev, hist, dr, done
 
 
+@partial(jax.jit, static_argnames=("shape",))
+def _walk_segment_counted(state, rows, shape: tuple, max_steps):
+    """:func:`_walk_segment_packed` + fused live-lane count.
+
+    The drain loop needs the alive count after every segment to drive
+    compaction; folding the reduction into the segment program saves a
+    dispatch per boundary and lets the host fetch one scalar that is
+    ready the moment the segment is.
+    """
+    state = _walk_segment_packed(state, rows, shape, max_steps)
+    return state, jnp.sum(~state[4])
+
+
+def _bucket_size(n: int, min_batch: int = 4096) -> int:
+    """Smallest 2^k or 3*2^k >= max(n, min_batch).
+
+    The 3*2^k sizes halve the pow2 padding waste (worst-case bucket
+    occupancy 67% -> 75%, average much better on smooth decays); with the
+    traced step bound each size still compiles exactly once ever.
+    """
+    n = max(int(n), min_batch)
+    p2 = 1 << (n - 1).bit_length()
+    p3 = 3 << max((n - 1).bit_length() - 2, 0)
+    if n <= p3 < p2 and p3 >= min_batch:
+        return p3
+    return p2
+
+
 @partial(jax.jit, static_argnames=("size",))
 def _compact_state(state, size: int):
     """Pack still-running lanes first and slice the batch to ``size``.
@@ -364,10 +392,30 @@ def _compact_state(state, size: int):
     Returns (packed state, orig (size,) original lane indices, n_alive).
     The argsort is stable, so lane order within alive/done groups is
     preserved (walk results are order-independent anyway).
+
+    With f32 ``dr`` (the TPU row policy) the whole state is bitcast into
+    one (K, 8) f32 matrix — [pos|done<<31, prev, hist x3, dr x3] — and
+    moved by a single byte-bound row gather: nine separate element
+    gathers at the ~45M/s element rate measured ~1-1.5 s per shrink of
+    a 8M-lane batch, the packed row ~0.15 s.  f64 dr (CPU exact path)
+    keeps the plain per-array gathers.
     """
     pos, prev, hist, dr, done = state
     order = jnp.argsort(done, stable=True).astype(jnp.int32)  # alive first
     orig = order[:size]
+    if dr.dtype == jnp.float32:
+        posd = pos | jnp.where(done, jnp.int32(-(1 << 31)), jnp.int32(0))
+        ints = jnp.concatenate([posd[:, None], prev[:, None], hist],
+                               axis=1)
+        mat = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(ints, jnp.float32), dr], axis=1)
+        sub = jnp.take(mat, orig, axis=0)
+        ints2 = jax.lax.bitcast_convert_type(sub[:, :5], jnp.int32)
+        posd2 = ints2[:, 0]
+        done2 = posd2 < 0
+        pos2 = posd2 & jnp.int32(0x7FFFFFFF)
+        return ((pos2, ints2[:, 1], ints2[:, 2:5], sub[:, 5:8], done2),
+                orig, jnp.sum(~done))
     take = lambda a: jnp.take(a, orig, axis=0)  # noqa: E731
     return ((take(pos), take(prev), take(hist), take(dr), take(done)),
             orig, jnp.sum(~done))
@@ -415,6 +463,7 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
 
 
 _LANE_STEP_BUDGET = 300_000_000
+_TAIL_BUCKET = 1 << 16  # below this, walk the whole remaining cap at once
 # cap on (live lanes x steps) per dispatched segment: a single XLA
 # program whose gathers run for minutes kills the TPU worker through the
 # tunnel (observed at ~2-3 min with the old 9-gather steps).  At one row
@@ -472,42 +521,36 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     orig = None  # lane -> original index map once compacted
     size = k0
 
-    def walk_seg(st, seg):
-        return _walk_segment_packed(st, rows, shape, seg)
-
-    # software-pipelined segment loop: the alive-count fetch for segment i
-    # overlaps segment i+1's execution (count describes the PRE-speculation
-    # state — a safe upper bound for compaction decisions, and walking
-    # all-done lanes is a no-op, so the speculative segment never corrupts
-    # results)
-    def seg_len(i, remaining, sz):
-        want = segments[min(i, len(segments) - 1)]
-        budget = max(1, _LANE_STEP_BUDGET // max(sz, 1))
-        return max(1, min(want, remaining, budget))
-
+    # Non-speculative segment loop with the alive count fused into the
+    # segment program: each boundary is one dispatch + one scalar fetch,
+    # and compaction decisions see the FRESH count.  (An earlier variant
+    # pipelined the count fetch behind a speculative next segment; the
+    # stale count made every bucket shrink land one segment late, which
+    # at a 7.3M-edge refinement walk nearly doubled the paid lane-steps
+    # — 554M vs ~290M — for ~50 ms of hidden fetch latency per boundary.)
+    # Once the live set fits _TAIL_BUCKET lanes the rest of the walk is a
+    # single dispatch: the long-tail had been paying a fixed ~35 ms
+    # per 64-step slice for thousands of lanes (1+ s of dispatch overhead
+    # per full-trajectory call).
     steps = 0
-    seg = seg_len(0, max_steps, size)
-    state = walk_seg(state, seg)
-    steps += seg
-    seg_i = 1
-    count_dev = jnp.sum(~state[4])
+    seg_i = 0
     while steps < max_steps:
-        seg = seg_len(seg_i, max_steps - steps, size)
+        remaining = max_steps - steps
+        budget = max(1, _LANE_STEP_BUDGET // max(size, 1))
+        if size <= _TAIL_BUCKET:
+            seg = min(remaining, budget)
+        else:
+            want = segments[min(seg_i, len(segments) - 1)]
+            seg = max(1, min(want, remaining, budget))
         seg_i += 1
-        state = walk_seg(state, seg)  # speculative
+        state, cnt = _walk_segment_counted(state, rows, shape, seg)
         steps += seg
-        n_alive = int(count_dev)  # fetch overlaps the segment above
+        n_alive = int(cnt)
         if progress is not None:
-            progress(steps - seg, n_alive)
+            progress(steps, n_alive)
         if n_alive == 0:
             break
-        count_dev = jnp.sum(~state[4])
-        # shrink the batch once the live set fits a 2x smaller bucket
-        # (power-of-two buckets; the traced step bound means each size
-        # compiles once ever, so there is no compile-count reason to
-        # quantize coarser — pow-4 buckets measured 3.1x padded-lane
-        # waste on a 7.3M-edge refinement walk)
-        new_size = max(min_batch, 1 << (max(n_alive, 1) - 1).bit_length())
+        new_size = _bucket_size(n_alive, min_batch)
         if new_size < size and size > min_batch:
             if orig is not None:
                 out_pos, out_done = _scatter_back(
@@ -518,7 +561,6 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
             orig = sub if orig is None else jnp.take(orig, sub)
             state = packed
             size = new_size
-            count_dev = jnp.sum(~state[4])
     if orig is not None:
         out_pos, out_done = _scatter_back(
             out_pos, out_done, orig, state[0], state[4])
