@@ -393,28 +393,33 @@ def _compact_state(state, size: int):
     The argsort is stable, so lane order within alive/done groups is
     preserved (walk results are order-independent anyway).
 
-    With f32 ``dr`` (the TPU row policy) the whole state is bitcast into
-    one (K, 8) f32 matrix — [pos|done<<31, prev, hist x3, dr x3] — and
-    moved by a single byte-bound row gather: nine separate element
-    gathers at the ~45M/s element rate measured ~1-1.5 s per shrink of
-    a 8M-lane batch, the packed row ~0.15 s.  f64 dr (CPU exact path)
-    keeps the plain per-array gathers.
+    With f32 ``dr`` (the TPU row policy) the whole state is packed into
+    one (K, 8) INT32 matrix — [pos|done<<31, prev, hist x3,
+    bitcast(dr) x3] — and moved by a single byte-bound row gather: nine
+    separate element gathers at the ~45M/s element rate measured
+    ~1-1.5 s per shrink of a 8M-lane batch, the packed row ~0.15 s.
+    The packing direction matters: the converse (ints bitcast INTO an
+    f32 matrix) corrupts on TPU — XLA's f32 pipeline canonicalises NaN
+    bit patterns (-1 -> 0x7FC00000) and flushes denormal-range ints
+    (values < 2^23) to zero somewhere between the concatenate and the
+    gather (measured, _exp/packed_compact_bits.py); integer ops never
+    touch the payload.  f64 dr (CPU exact path) keeps the plain
+    per-array gathers.
     """
     pos, prev, hist, dr, done = state
     order = jnp.argsort(done, stable=True).astype(jnp.int32)  # alive first
     orig = order[:size]
     if dr.dtype == jnp.float32:
         posd = pos | jnp.where(done, jnp.int32(-(1 << 31)), jnp.int32(0))
-        ints = jnp.concatenate([posd[:, None], prev[:, None], hist],
-                               axis=1)
         mat = jnp.concatenate(
-            [jax.lax.bitcast_convert_type(ints, jnp.float32), dr], axis=1)
+            [posd[:, None], prev[:, None], hist,
+             jax.lax.bitcast_convert_type(dr, jnp.int32)], axis=1)
         sub = jnp.take(mat, orig, axis=0)
-        ints2 = jax.lax.bitcast_convert_type(sub[:, :5], jnp.int32)
-        posd2 = ints2[:, 0]
+        posd2 = sub[:, 0]
         done2 = posd2 < 0
         pos2 = posd2 & jnp.int32(0x7FFFFFFF)
-        return ((pos2, ints2[:, 1], ints2[:, 2:5], sub[:, 5:8], done2),
+        dr2 = jax.lax.bitcast_convert_type(sub[:, 5:8], jnp.float32)
+        return ((pos2, sub[:, 1], sub[:, 2:5], dr2, done2),
                 orig, jnp.sum(~done))
     take = lambda a: jnp.take(a, orig, axis=0)  # noqa: E731
     return ((take(pos), take(prev), take(hist), take(dr), take(done)),

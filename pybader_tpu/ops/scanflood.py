@@ -147,6 +147,67 @@ def _ppstep_for(n: int) -> int:
     return 1
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _round_pallas(lab, c0, i0, c1, i1, c2, i2):
+    """One full flood round (6 Pallas scans + transposes + count) as a
+    SINGLE program: dispatched eagerly, a round was ~13 op dispatches
+    through the remote-device tunnel at ~4 ms each — the kernels
+    themselves are ~2 ms.  The unlabeled count rides along so the
+    convergence check costs one scalar fetch, not a dispatch.
+    """
+    from pybader_tpu.ops import pallas_flood
+
+    cms, ims = (c0, c1, c2), (i0, i1, i2)
+    for axis in range(3):
+        lm = jnp.moveaxis(lab, axis, 0)
+        lm = pallas_flood._scan_call(lm, cms[axis], ims[axis], False)
+        lm = pallas_flood._scan_call(lm, cms[axis], ims[axis], True)
+        lab = jnp.moveaxis(lm, 0, axis)
+    return lab, jnp.sum((lab == 0).astype(jnp.int32))
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("pps",))
+def _round_xla(lab, codes0, codes1, codes2, pps):
+    for axis, (comp, inplane) in enumerate((codes0, codes1, codes2)):
+        lab = scan_flood_dir(lab, comp, inplane, axis, False, pps[axis])
+        lab = scan_flood_dir(lab, comp, inplane, axis, True, pps[axis])
+    return lab, jnp.sum((lab == 0).astype(jnp.int32))
+
+
+def _make_round(shape, codes, force_xla: bool = False):
+    """Build the one-round scan function: Pallas backend when the grid
+    tiles, XLA grouped-plane scans otherwise.
+
+    The Pallas scan (ops/pallas_flood.py) keeps the Gauss-Seidel carry in
+    VMEM across a sequential grid — HBM sees one read and one write of
+    the label planes per scan vs ~16 MB of rolled-copy traffic per plane
+    in the XLA formulation.  Both directions along an axis run in the
+    moved-axis layout, so each axis costs one transpose pair per round;
+    the per-axis step codes are transposed once up front.  Either way the
+    whole round is one jitted program returning (labels, n_unlabeled).
+    """
+    use_pallas = jax.default_backend() != "cpu" and not force_xla
+    if use_pallas:
+        from pybader_tpu.ops import pallas_flood
+
+        use_pallas = pallas_flood.supports_shape(shape)
+    if use_pallas:
+        cms = [jnp.moveaxis(codes[a][0], a, 0) for a in range(3)]
+        ims = [jnp.moveaxis(codes[a][1], a, 0) for a in range(3)]
+
+        def one_round(lab):
+            return _round_pallas(lab, cms[0], ims[0], cms[1], ims[1],
+                                 cms[2], ims[2])
+
+        return one_round
+    pps = tuple(_ppstep_for(shape[axis]) for axis in range(3))
+
+    def one_round(lab):
+        return _round_xla(lab, codes[0], codes[1], codes[2], pps)
+
+    return one_round
+
+
 def flood_rounds(labels, bk, max_rounds: int = 64, progress=None):
     """Alternating-direction scan rounds until every voxel is labeled.
 
@@ -161,30 +222,50 @@ def flood_rounds(labels, bk, max_rounds: int = 64, progress=None):
     convergence adopts nothing; its result is returned unchanged).
     """
     codes = [_axis_codes(bk, axis) for axis in range(3)]
-    pps = [_ppstep_for(labels.shape[axis]) for axis in range(3)]
+    one_round = _make_round(labels.shape, codes)
+    # once the unlabeled count drops below this, check convergence with a
+    # blocking scalar fetch instead of speculatively dispatching another
+    # round: the tail of the decay is steep (18K -> 0 at a dense 384^3),
+    # and a wasted round costs ~54 ms vs ~10 ms for the fetch RTT
+    small_thresh = max(65536, labels.size // 512)
 
-    def one_round(lab):
-        for axis in range(3):
-            comp, inplane = codes[axis]
-            lab = scan_flood_dir(lab, comp, inplane, axis, False,
-                                 pps[axis])
-            lab = scan_flood_dir(lab, comp, inplane, axis, True,
-                                 pps[axis])
-        return lab
-
-    left_dev = None
-    left = -1
+    prev_cnt = None
+    left = -1  # unlabeled count from the most recently FETCHED round
     for r in range(max_rounds):
-        labels = one_round(labels)
-        prev_dev = left_dev
-        left_dev = _n_unlabeled(labels)
-        if prev_dev is not None:
-            left = int(prev_dev)  # overlaps this round's execution
+        if prev_cnt is not None and 0 <= left <= small_thresh:
+            left = int(prev_cnt)  # blocking convergence check
             if progress is not None:
                 progress(r - 1, left)
             if left == 0:
-                return labels  # this round was the no-op speculation
-    left = int(left_dev)
+                return labels
+        if r == 0:
+            try:
+                from jax._src.pallas.mosaic.error_handling import (
+                    MosaicError,
+                )
+            except ImportError:  # pallas internals moved; rely on runtime
+                MosaicError = RuntimeError  # noqa: N806
+            try:
+                labels, cnt = one_round(labels)
+            except (RuntimeError, MosaicError) as e:  # compile/launch fail
+                import warnings
+
+                warnings.warn(
+                    f"pallas flood scan unavailable ({e}); falling back "
+                    f"to XLA plane scans")
+                one_round = _make_round(labels.shape, codes,
+                                        force_xla=True)
+                labels, cnt = one_round(labels)
+        else:
+            labels, cnt = one_round(labels)
+        if prev_cnt is not None and not (0 <= left <= small_thresh):
+            left = int(prev_cnt)  # overlaps the round just dispatched
+            if progress is not None:
+                progress(r - 1, left)
+            if left == 0:
+                return labels  # that round was the no-op speculation
+        prev_cnt = cnt
+    left = int(prev_cnt)
     if progress is not None:
         progress(max_rounds - 1, left)
     if left == 0:

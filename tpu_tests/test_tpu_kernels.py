@@ -336,3 +336,100 @@ def test_pallas_label_reductions_match_xla():
     c0, v0 = red._charge_volume_sum_xla(rho_dev, labels, 1.0, n_max)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-8)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+
+
+@pytest.mark.parametrize("shape", [(128, 128, 128), (160, 128, 384)])
+def test_pallas_flood_matches_xla_scans(shape):
+    """The VMEM-carry flood-scan kernel is bit-identical to the XLA
+    plane scans, on-device, including a non-cubic tileable shape."""
+    import jax
+
+    from pybader_tpu import pipeline
+    from pybader_tpu.ops import pallas_flood
+    from pybader_tpu.ops import scanflood as sf
+    from pybader_tpu.ops.pallas_chase import _flood_seed
+
+    assert pallas_flood.supports_shape(shape)
+    rho = blob_density(shape, 14, 9)
+    w = tuple(g.distance_weights(np.diag([9.0, 8.0, 11.0]), shape))
+    rho_dev = jnp.asarray(rho)
+    bk = pipeline._step_codes_auto(rho_dev, w)
+    with jax.enable_x64(False):
+        seed0, _, _ = _flood_seed(bk, bk, False)
+        codes = [sf._axis_codes(bk, a) for a in range(3)]
+        xla_round = sf._make_round(shape, codes, force_xla=True)
+        pl_round = sf._make_round(shape, codes)
+        lab_x = jnp.array(seed0, copy=True)
+        lab_p = jnp.array(seed0, copy=True)
+        for _round in range(3):
+            lab_x, cnt_x = xla_round(lab_x)
+            lab_p, cnt_p = pl_round(lab_p)
+            assert int(cnt_x) == int(cnt_p)
+            mism = int(jnp.sum(lab_x != lab_p))
+            assert mism == 0, f"{mism} mismatches after a round"
+
+
+def test_packed_compaction_bit_exact():
+    """_compact_state's single-row-gather packing must preserve every int
+    pattern: -1 sentinels (NaN bits under an f32 view) and small indices
+    (denormal bits).  An earlier f32-matrix packing corrupted both on TPU
+    (NaN canonicalisation + denormal flush); the int32-matrix packing is
+    pinned here."""
+    import jax
+
+    from pybader_tpu.ops import neargrid as ng
+
+    rng = np.random.default_rng(0)
+    k, size = 1 << 14, 1 << 13
+    pos = rng.integers(0, 1 << 27, size=k).astype(np.int32)
+    prev = np.where(rng.random(k) < 0.3, -1,
+                    rng.integers(0, 1 << 27, size=k)).astype(np.int32)
+    hist = np.where(rng.random((k, 3)) < 0.3, -1,
+                    rng.integers(0, 1 << 27, size=(k, 3))).astype(np.int32)
+    dr = (rng.random((k, 3)) - 0.5).astype(np.float32)
+    done = rng.random(k) < 0.4
+    done[: k - size + 64] = True  # alive set fits the target bucket
+    state = tuple(jnp.asarray(a) for a in (pos, prev, hist, dr, done))
+    with jax.enable_x64(False):
+        packed, orig, _ = ng._compact_state(state, size)
+    orig_h = np.asarray(orig)
+    for got, exp in zip(packed, (pos, prev, hist, dr, done)):
+        got_h = np.asarray(got)
+        if got_h.dtype == np.float32:
+            np.testing.assert_array_equal(got_h.view(np.int32),
+                                          exp[orig_h].view(np.int32))
+        else:
+            np.testing.assert_array_equal(got_h, exp[orig_h])
+
+
+def test_walk_drain_schedule_invariant():
+    """Two f32-row drains with different segment schedules (hence
+    different compaction points) must agree EXACTLY — they walk identical
+    per-lane programs, so any difference is compaction corruption."""
+    from pybader_tpu.ops import edges as edges_ops
+    from pybader_tpu.ops import neargrid as ng
+    from pybader_tpu.ops.reductions import compact_indices
+
+    shape = (96, 64, 128)
+    rho = blob_density(shape, 8, 9)
+    lattice = np.diag([9.0, 8.0, 10.0])
+    w = tuple(g.distance_weights(lattice, shape))
+    tg = jnp.asarray(g.t_grad(lattice, shape))
+    rho_dev = jnp.asarray(rho)
+    bk = ongrid_step_codes(rho_dev, w)
+    parent = parent_from_step_codes(bk)
+    from pybader_tpu import pipeline
+
+    labels, _ = pipeline.partition_ongrid(rho_dev, None, w)
+    known = edges_ops.edge_find(rho_dev, labels, bk == jnp.uint8(13))
+    edge_mask = (known == -2).reshape(-1)
+    starts = compact_indices(edge_mask, 1 << 14)
+    stop = (known == 2).reshape(-1)
+    args = (starts, rho_dev.reshape(-1), parent.reshape(-1), stop, tg,
+            shape)
+    pos_a, done_a = ng.walk_drain(*args, strict_grad=True, max_steps=192)
+    pos_b, done_b = ng.walk_drain(*args, strict_grad=True, max_steps=192,
+                                  segments=(1, 1, 2, 4, 8, 16),
+                                  min_batch=4096)
+    mism = int(jnp.sum(pos_a != pos_b)) + int(jnp.sum(done_a != done_b))
+    assert mism == 0, f"{mism} schedule-dependent walker results"
