@@ -285,10 +285,12 @@ def run_workloads(size: int, which: str):
 
     # ---- workload 2: default acceptance pipeline
     def default_e2e(stats=None):
-        labels, maxima = pipeline.partition_neargrid(rho_dev, None, w, tg)
+        carry = {}
+        labels, maxima = pipeline.partition_neargrid(
+            rho_dev, None, w, tg, carry_out=carry)
         labels, changed = pipeline.refine_labels(
             "neargrid", ("changed", 2), rho_dev, labels, w, tg,
-            verbose=False, stats=stats)
+            verbose=False, stats=stats, carry_in=carry or None)
         n_max = max(len(maxima), 1)
         # maxima -> atoms, voxel map relabel (ref thread_handlers:78-125)
         mx_cart = (np.asarray(maxima) / np.asarray(shape)) @ lattice

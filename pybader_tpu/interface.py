@@ -472,10 +472,15 @@ class Bader:
                     progress=tick
                 )
             elif self.method == 'neargrid':
+                # the hybrid's internal refinement hands its continuation
+                # state to refine_volumes so a follow-up 'changed' refine
+                # chains on instead of re-walking the full edge set
+                carry = {}
                 labels, maxima = pipeline.partition_neargrid(
                     self.reference, vacuum, weights, self.T_grad,
-                    mesh=self.mesh, progress=tick
+                    mesh=self.mesh, progress=tick, carry_out=carry
                 )
+                self._refine_carry = carry if carry else None
             else:
                 raise ValueError(f"Unknown method: {self.method}")
             dtype = dtype_calc(-max(int(maxima.shape[0]), 1))
@@ -507,12 +512,20 @@ class Bader:
 
     def refine_volumes(self, volumes):
         """Refine edges of the given label map in place."""
+        # continuation state from the hybrid neargrid partition applies
+        # only to the label map it was computed against (bader_volumes);
+        # the speed path refines the atom-relabelled map, whose edge
+        # structure differs, and must start fresh.  Single-use either way.
+        carry = getattr(self, '_refine_carry', None)
+        self._refine_carry = None
+        if volumes is not getattr(self, 'bader_volumes', None):
+            carry = None
         labels = jnp.asarray(np.asarray(volumes), dtype=jnp.int32)
         with _stage("Refining volume edges", multiline=True) as tick:
             refined, _ = pipeline.refine_labels(
                 self.refine_method, self.refine_mode, self.reference, labels,
                 tuple(self.distance_weights), self.T_grad, mesh=self.mesh,
-                progress=tick,
+                progress=tick, carry_in=carry,
             )
             np.copyto(volumes, np.asarray(refined).astype(volumes.dtype))
 
@@ -633,9 +646,11 @@ class Bader:
         self.apply_config(python_config(key=key))
 
     def __getstate__(self):
-        # a Mesh holds live device handles — never pickle it
+        # a Mesh holds live device handles — never pickle it; the refine
+        # carry is transient device state (multi-GB walker rows)
         state = dict(self.__dict__)
         state.pop('mesh', None)
+        state.pop('_refine_carry', None)
         return state
 
     # --------------------------------------------------------------- output

@@ -221,7 +221,7 @@ _CAND_CAP = 1 << 26
 def partition_neargrid(reference, vacuum, weights, t_grad,
                        batch: int = _WALK_BATCH,
                        full_trajectories: bool | None = None,
-                       mesh=None, progress=None):
+                       mesh=None, progress=None, carry_out=None):
     """Neargrid partition: every voxel walks its full trajectory.
 
     Order-independent formulation of reference methods.py:222-611 (see
@@ -233,6 +233,13 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     the caller runs afterwards.  With refinement run to convergence the
     hybrid and the full-trajectory formulation land on the same charges
     (tests/test_hybrid_parity.py).
+
+    ``carry_out``: optional dict.  When the hybrid path runs, it is filled
+    with the internal refinement's continuation state so a follow-up
+    ``refine_labels(..., carry_in=carry_out)`` with mode 'changed' chains
+    onto the internal iterations (one continuous 'changed' sequence —
+    reference thread_handlers.py:197-236 semantics for a single refine
+    call) instead of re-finding and re-walking the full edge set.
     """
     reference = jnp.asarray(reference)
     vac = None if vacuum is None else jnp.asarray(vacuum)
@@ -247,6 +254,7 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         labels, _ = refine_labels(
             "neargrid", _NEARGRID_HYBRID_REFINE, reference, labels,
             weights, t_grad, verbose=False, mesh=mesh, progress=progress,
+            carry_out=carry_out,
         )
         # refinement reassigns edge voxels among the existing basin ids;
         # numbering and the maxima list stay those of the initialisation
@@ -293,7 +301,7 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
 
 def refine_labels(method: str, refine_mode, reference, labels, weights,
                   t_grad, verbose: bool = True, mesh=None, stats=None,
-                  progress=None):
+                  progress=None, carry_in=None, carry_out=None):
     """Iterative neargrid edge refinement to (or towards) a fixed point.
 
     Mirrors reference thread_handlers.refine (:128-236): iteration 1 walks
@@ -316,6 +324,16 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     array.  Small int32/int8 stages (edge compaction sort, label pickup)
     still reshard through XLA collectives.
 
+    ``carry_in`` / ``carry_out`` chain successive 'changed'-mode calls on
+    the SAME labels into one continuous 'changed' sequence (reference
+    thread_handlers.py:197-236 semantics for a single call): a call given
+    ``carry_out`` stashes its continuation state (post-final-iteration
+    edge bookkeeping, packed walker rows, step codes) there; passing that
+    dict as ``carry_in`` to the next 'changed' call skips its full-grid
+    edge_find, the full-edge iteration-1 walk, and the row precompute.
+    The carry is single-use (its row buffer is donated onward).  Both are
+    ignored for 'all' mode and on a multi-device mesh.
+
     returns (labels, total_changed).
     """
     if method not in REFINEMENT_METHODS:
@@ -337,29 +355,45 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         labels = jax.device_put(labels, sharding)
     shape = reference.shape
     t_grad = jnp.asarray(t_grad)
-    vac = labels == -1
     multi = mesh is not None and len(mesh.devices.reshape(-1)) > 1
-    parent, bk = _parent_and_codes(reference, vac, weights)
+    chained = str(mode).lower() == "changed" and not multi
+    if not chained:
+        carry_in = carry_out = None
+    if carry_in is not None and carry_in.get("converged"):
+        return labels, 0
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
-    walk_fields = None  # packed walker operands, built on first walk
-    if not multi:
-        # build the rows early and DROP the parent grid: its bits live in
-        # the rows, the cap-fire root fallback recomputes it (or uses the
-        # scan flood straight from bk), and at 512^3 the extra 0.5 GB
-        # matters next to the 4.3 GB rows buffer
-        walk_fields = neargrid_ops.precompute_rows(
-            reference, parent, t_grad, strict_grad=True)
+    if carry_in is not None and "known" in carry_in:
+        # continuation of a prior 'changed' call on the same labels:
+        # reuse its edge bookkeeping, step codes and packed walker rows
         parent = None
-    # local maximum <=> self ascent step: lets the edge stencils skip 26
-    # rolls of the f64 density grid (ops/edges._edge_and_max)
-    is_max = (bk == jnp.uint8(13)) & ~vac
+        bk = carry_in["bk"]
+        is_max = carry_in["is_max"]
+        walk_fields = carry_in["fields"]
+        known = carry_in["known"]
+        starts_small = carry_in.get("starts_small")
+    else:
+        vac = labels == -1
+        parent, bk = _parent_and_codes(reference, vac, weights)
+        walk_fields = None  # packed walker operands, built on first walk
+        if not multi:
+            # build the rows early and DROP the parent grid: its bits live
+            # in the rows, the cap-fire root fallback recomputes it (or
+            # uses the scan flood straight from bk), and at 512^3 the
+            # extra 0.5 GB matters next to the 4.3 GB rows buffer
+            walk_fields = neargrid_ops.precompute_rows(
+                reference, parent, t_grad, strict_grad=True)
+            parent = None
+        # local maximum <=> self ascent step: lets the edge stencils skip
+        # 26 rolls of the f64 density grid (ops/edges._edge_and_max)
+        is_max = (bk == jnp.uint8(13)) & ~vac
 
-    known = edges_ops.edge_find(reference, labels, is_max)
+        known = edges_ops.edge_find(reference, labels, is_max)
+        starts_small = None  # small candidate list, 'changed' fast path
     total_changed = 0
+    converged = False
     if stats is not None:
         stats["iterations"] = []
     it = 0
-    starts_small = None  # small candidate list from the 'changed' fast path
     while it < max_iters:
         it += 1
         if starts_small is None:
@@ -370,6 +404,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         if n_edges == 0:
             if verbose and it == 1:
                 print("  No edges found.")
+            converged = True
             break
         if verbose:
             print(f"  Iteration {it}: refining {n_edges} edges")
@@ -457,6 +492,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         if verbose:
             print(f"  {changed} points changed.")
         if changed == 0:
+            converged = True
             break
         # bookkeeping on the edge set we just walked: changed stay -2,
         # unchanged drop to -1 (reference refinement.py:288-302 known dance)
@@ -465,7 +501,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             jnp.where(changed_mask, jnp.int8(-2), jnp.int8(-1))
         )
         known = known_flat.reshape(shape)
-        if it >= max_iters:
+        if it >= max_iters and carry_out is None:
             break
         if str(mode).lower() == "all":
             known = edges_ops.edge_find(reference, labels, is_max)
@@ -495,6 +531,16 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 cand = edges_ops.neighbors27_flat(ch_starts, shape)
                 starts_small = edges_ops.filter_edges_sorted(
                     cand, known.reshape(-1))
+        if it >= max_iters:
+            break
+    if carry_out is not None:
+        if converged:
+            carry_out["converged"] = True
+        else:
+            carry_out.update(
+                known=known, starts_small=starts_small, bk=bk,
+                is_max=is_max, fields=walk_fields,
+            )
     return labels, total_changed
 
 

@@ -172,3 +172,83 @@ def test_neargrid_hybrid_mode_converges_same():
     np.testing.assert_allclose(
         np.sort(np.asarray(c_full)), np.sort(np.asarray(c_hyb)), rtol=1e-3
     )
+
+
+def test_refine_carry_chain_matches_continuous():
+    """Chained carry refinement == one continuous ('changed', k) call.
+
+    The hybrid partition's internal ('changed', 3) refinement plus a
+    carry-chained user ('changed', 2) call must be bit-identical to
+    running ('changed', 5) in a single call on the ongrid init: the carry
+    resumes the same loop (pipeline.refine_labels docstring).
+    """
+    rho, w, tg = _setup(3)
+    w = tuple(w)
+    labels0, _ = pipeline.partition_ongrid(rho, None, w)
+
+    carry = {}
+    lab_a, _ = pipeline.refine_labels(
+        "neargrid", ("changed", 3), rho, labels0, w, tg,
+        verbose=False, carry_out=carry)
+    assert carry, "carry_out not populated"
+    lab_a, _ = pipeline.refine_labels(
+        "neargrid", ("changed", 2), rho, lab_a, w, tg,
+        verbose=False, carry_in=carry)
+
+    lab_b, _ = pipeline.refine_labels(
+        "neargrid", ("changed", 5), rho, labels0, w, tg, verbose=False)
+    np.testing.assert_array_equal(np.asarray(lab_a), np.asarray(lab_b))
+
+
+def test_refine_carry_converged_short_circuits():
+    """A converged carry makes the follow-up call a no-op."""
+    rho, w, tg = _setup(4)
+    w = tuple(w)
+    labels0, _ = pipeline.partition_ongrid(rho, None, w)
+    carry = {}
+    lab, _ = pipeline.refine_labels(
+        "neargrid", ("changed", -1), rho, labels0, w, tg,
+        verbose=False, carry_out=carry)
+    assert carry.get("converged"), carry.keys()
+    lab2, changed = pipeline.refine_labels(
+        "neargrid", ("changed", 2), rho, lab, w, tg,
+        verbose=False, carry_in=carry)
+    assert changed == 0
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab2))
+
+
+def test_partition_neargrid_hybrid_carry_out():
+    """partition_neargrid(full_trajectories=False) fills carry_out and the
+    chained user refinement reproduces the unchained composition at the
+    converged fixed point (same charges)."""
+    from tests.test_io import ATOMS
+    from tests.oracle import gaussian_density
+    from pybader_tpu.ops import reductions
+    import pybader_tpu.grid as grid_mod
+
+    centers = ATOMS @ np.linalg.inv(LATTICE)
+    rho = gaussian_density(SHAPE, LATTICE, centers, [0.9, 0.8], [2.0, 1.5])
+    rho = rho + 1e-8
+    w = tuple(g.distance_weights(LATTICE, SHAPE))
+    tg = g.t_grad(LATTICE, SHAPE)
+
+    carry = {}
+    lab_c, max_c = pipeline.partition_neargrid(
+        rho, None, w, tg, full_trajectories=False, carry_out=carry)
+    assert carry, "hybrid path should populate carry_out"
+    lab_c, _ = pipeline.refine_labels(
+        "neargrid", ("changed", -1), rho, lab_c, w, tg,
+        verbose=False, carry_in=carry)
+
+    lab_u, max_u = pipeline.partition_neargrid(
+        rho, None, w, tg, full_trajectories=False)
+    lab_u, _ = pipeline.refine_labels(
+        "neargrid", ("changed", -1), rho, lab_u, w, tg, verbose=False)
+
+    assert len(max_c) == len(max_u)
+    vv = grid_mod.voxel_volume(LATTICE, SHAPE)
+    c_c, _ = reductions.charge_volume_sum(
+        jnp.asarray(rho), jnp.asarray(lab_c), vv, len(max_c))
+    c_u, _ = reductions.charge_volume_sum(
+        jnp.asarray(rho), jnp.asarray(lab_u), vv, len(max_u))
+    np.testing.assert_allclose(np.asarray(c_c), np.asarray(c_u), rtol=1e-9)
