@@ -243,7 +243,6 @@ def run_workloads(size: int, which: str):
     from pybader_tpu.ops import atoms as atoms_ops
     from pybader_tpu.ops import edges as edges_ops
     from pybader_tpu.ops import reductions
-    from pybader_tpu.ops.reductions import compact_indices
 
     shape = (size, size, size)
     lattice = np.diag([20.0, 20.0, 20.0])
@@ -300,13 +299,9 @@ def run_workloads(size: int, which: str):
         atoms_volumes = reductions.relabel(labels, atom_of_max)
         # surface distance (ref thread_handlers:239-297)
         known = edges_ops.edge_find(rho_dev, atoms_volumes)
-        edge_mask = (known == -2).reshape(-1)
-        n_edges = int(jnp.sum(edge_mask))
-        size_pow = max(4096, 1 << (max(n_edges, 1) - 1).bit_length())
-        edge_idx = compact_indices(edge_mask, size_pow)[:n_edges]
-        dists = atoms_ops.surface_distance_from_edges(
-            edge_idx, atoms_volumes.reshape(-1), jnp.asarray(lattice),
-            jnp.asarray(atoms_cart), shape, len(atoms_cart))
+        dists = atoms_ops.surface_distance_masked(
+            atoms_volumes, known == -2, jnp.asarray(lattice),
+            jnp.asarray(atoms_cart), len(atoms_cart))
         charge, counts = reductions.charge_volume_sum(
             rho_dev, atoms_volumes, 1.0, len(atoms_cart))
         _sync_scalar(dists)

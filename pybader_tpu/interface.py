@@ -585,19 +585,8 @@ class Bader:
         labels = jnp.asarray(np.asarray(self.atoms_volumes), dtype=jnp.int32)
         with _stage("Calculating min. surface distance"):
             known = edges_ops.edge_find(jnp.asarray(self.reference), labels)
-            edge_mask = (known == -2).reshape(-1)
-            n_edges = int(jnp.sum(edge_mask))
-            if n_edges == 0:
-                print("no edges found. ", end="")
-                self.atoms_surface_distance = np.zeros(self.atoms.shape[0])
-                return
-            size = max(4096, 1 << (n_edges - 1).bit_length())
-            if size.bit_length() % 2 == 0:
-                size <<= 1  # powers of 4: fewer compile buckets
-            edge_idx = reductions.compact_indices(edge_mask, size)
-            dist = atoms_ops.surface_distance_from_edges(
-                edge_idx, labels.reshape(-1), jnp.asarray(self.lattice),
-                jnp.asarray(atoms), tuple(self.density.shape),
+            dist = atoms_ops.surface_distance_masked(
+                labels, known == -2, self.lattice, atoms,
                 int(self.atoms.shape[0]),
             )
             self.atoms_surface_distance = np.asarray(dist)

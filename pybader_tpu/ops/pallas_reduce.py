@@ -171,6 +171,107 @@ def min_pair(labels, mask, num_segments: int, interpret: bool = False):
     return jnp.min(mn, axis=(0, 2)), jnp.min(mm, axis=(0, 2))
 
 
+# ------------------------------------------------- surface distance
+def _surface_kernel(lab_ref, mask_ref, ax_ref, ay_ref, az_ref, sh_ref,
+                    out_ref, *, kp: int, r: int, shape: tuple):
+    """Per-label min squared edge-voxel -> own-atom distance (27 images).
+
+    One grid read: each element reconstructs its voxel position from the
+    block iota, picks its own atom's coordinates by a label-select chain
+    (atom table in SMEM), scans the 27 periodic images, and the per-label
+    minima reduce over sublanes — no gathers, no edge compaction.
+    """
+    nx, ny, nz = shape
+    big = jnp.float32(np.finfo(np.float32).max)
+    lab = lab_ref[...]
+    base = pl.program_id(0) * jnp.int32(r * _LANES)
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 1)
+    iota = base + row * jnp.int32(_LANES) + col
+    x = iota // jnp.int32(ny * nz)
+    rem = iota - x * jnp.int32(ny * nz)
+    y = rem // jnp.int32(nz)
+    z = rem - y * jnp.int32(nz)
+    fx = x.astype(jnp.float32) * jnp.float32(1.0 / nx)
+    fy = y.astype(jnp.float32) * jnp.float32(1.0 / ny)
+    fz = z.astype(jnp.float32) * jnp.float32(1.0 / nz)
+    # cart = frac @ lattice; lattice rows in the shifts SMEM tail (81..89)
+    px = fx * sh_ref[81] + fy * sh_ref[84] + fz * sh_ref[87]
+    py = fx * sh_ref[82] + fy * sh_ref[85] + fz * sh_ref[88]
+    pz = fx * sh_ref[83] + fy * sh_ref[86] + fz * sh_ref[89]
+    ox = jnp.zeros_like(px)
+    oy = jnp.zeros_like(px)
+    oz = jnp.zeros_like(px)
+    for k in range(kp):
+        m = lab == jnp.int32(k)
+        ox = jnp.where(m, ax_ref[k], ox)
+        oy = jnp.where(m, ay_ref[k], oy)
+        oz = jnp.where(m, az_ref[k], oz)
+    dx = px - ox
+    dy = py - oy
+    dz = pz - oz
+    d2 = big
+    for i in range(27):
+        tx = dx - sh_ref[3 * i]
+        ty = dy - sh_ref[3 * i + 1]
+        tz = dz - sh_ref[3 * i + 2]
+        d2 = jnp.minimum(d2, tx * tx + ty * ty + tz * tz)
+    d2 = jnp.where((mask_ref[...] != 0) & (lab >= 0), d2, big)
+    for k in range(kp):
+        out_ref[k, :] = jnp.min(
+            jnp.where(lab == jnp.int32(k), d2, big), axis=0)
+
+
+@partial(jax.jit, static_argnames=("num_atoms", "shape", "interpret"))
+def surface_min_d2(labels, edge_mask, lattice, atoms_cart, shape: tuple,
+                   num_atoms: int, interpret: bool = False):
+    """(num_atoms,) min squared distance from each atom to its own
+    volume's edge voxels over 27 periodic images — Pallas path of
+    :func:`pybader_tpu.ops.atoms.surface_distance_from_edges` without the
+    edge compaction (reference utils.py:320-379 semantics; inf where an
+    atom's volume has no edge voxel in the mask)."""
+    lab_flat = labels.reshape(-1).astype(jnp.int32)
+    mask_flat = edge_mask.reshape(-1).astype(jnp.uint8)
+    kp = _pad_k(num_atoms)
+    lat = lattice.astype(jnp.float32)
+    a32 = atoms_cart.astype(jnp.float32)
+    ax = jnp.zeros((kp,), jnp.float32).at[:num_atoms].set(a32[:, 0])
+    ay = jnp.zeros((kp,), jnp.float32).at[:num_atoms].set(a32[:, 1])
+    az = jnp.zeros((kp,), jnp.float32).at[:num_atoms].set(a32[:, 2])
+    combos = jnp.asarray(
+        [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+         for k in (-1, 0, 1)], dtype=jnp.float32)
+    sh = jnp.concatenate(
+        [(combos @ lat).reshape(-1), lat.reshape(-1)])  # (81 + 9,)
+    with jax.enable_x64(False):
+        lab2, rows = _as_rows(lab_flat, -1)
+        mask2, _ = _as_rows(mask_flat, 0)
+        r = _block_rows(rows)
+        nb = rows // r
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        out = pl.pallas_call(
+            partial(_surface_kernel, kp=kp, r=r, shape=shape),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((r, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                smem, smem, smem, smem,
+            ],
+            out_specs=pl.BlockSpec((kp, _LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb * kp, _LANES), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(lab2, mask2, ax, ay, az, sh)
+    out = out.reshape(nb, kp, _LANES)[:, :num_atoms]
+    d2 = jnp.min(out, axis=(0, 2)).astype(jnp.float64)
+    return jnp.where(d2 >= jnp.float64(np.finfo(np.float32).max), jnp.inf,
+                     d2)
+
+
 # ------------------------------------------------------------------ remap
 def _remap_kernel(lab_ref, tab_ref, out_ref, *, kp: int):
     lab = lab_ref[...]

@@ -71,3 +71,48 @@ def test_grid_shaped_inputs():
     assert out.shape == shape
     r0 = red.remap_sweep(lab, table, k)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(r0))
+
+
+def test_surface_kernel_matches_compaction_path():
+    """Pallas surface-distance kernel (interpret) vs the f64 edge-
+    compaction path on a random label map."""
+    import jax.numpy as jnp
+    from pybader_tpu.ops import atoms as atoms_ops
+    from pybader_tpu.ops.pallas_reduce import surface_min_d2
+
+    rng = np.random.default_rng(7)
+    shape = (12, 10, 16)
+    n_atoms = 5
+    lattice = np.array([[6.0, 0.3, 0.0], [0.0, 5.5, 0.2], [0.1, 0.0, 5.0]])
+    labels = rng.integers(-1, n_atoms, size=shape).astype(np.int32)
+    mask = rng.random(shape) < 0.2
+    atoms_cart = rng.random((n_atoms, 3)) @ lattice
+
+    d_ref = np.asarray(atoms_ops.surface_distance_masked(
+        jnp.asarray(labels), jnp.asarray(mask), lattice, atoms_cart,
+        n_atoms))  # CPU backend -> compaction fallback (f64)
+    d2 = surface_min_d2(
+        jnp.asarray(labels), jnp.asarray(mask), jnp.asarray(lattice),
+        jnp.asarray(atoms_cart), shape, n_atoms, interpret=True)
+    d_pl = np.asarray(jnp.where(jnp.isfinite(d2), jnp.sqrt(d2), 0.0))
+    np.testing.assert_allclose(d_pl, d_ref, rtol=2e-5, atol=2e-6)
+
+
+def test_surface_kernel_no_edges_atom():
+    """An atom whose volume has no edge voxels reports 0.0 (reference
+    thread_handlers.py:289-297)."""
+    import jax.numpy as jnp
+    from pybader_tpu.ops.pallas_reduce import surface_min_d2
+
+    shape = (8, 8, 16)
+    lattice = np.diag([4.0, 4.0, 4.0])
+    labels = np.zeros(shape, np.int32)
+    labels[4:] = 1
+    mask = np.zeros(shape, bool)
+    mask[labels == 0] = True  # only atom 0 has edges
+    atoms_cart = np.array([[1.0, 1.0, 1.0], [3.0, 3.0, 3.0]])
+    d2 = surface_min_d2(
+        jnp.asarray(labels), jnp.asarray(mask), jnp.asarray(lattice),
+        jnp.asarray(atoms_cart), shape, 2, interpret=True)
+    assert np.isfinite(float(d2[0]))
+    assert np.isinf(float(d2[1]))

@@ -433,3 +433,38 @@ def test_walk_drain_schedule_invariant():
                                   min_batch=4096)
     mism = int(jnp.sum(pos_a != pos_b)) + int(jnp.sum(done_a != done_b))
     assert mism == 0, f"{mism} schedule-dependent walker results"
+
+
+def test_pallas_surface_distance_matches_compaction():
+    """surface_min_d2 on device vs the f64 edge-compaction path: the f32
+    kernel's distances must agree to ~1e-5 relative."""
+    from pybader_tpu import pipeline
+    from pybader_tpu.ops import atoms as atoms_ops
+    from pybader_tpu.ops import edges as edges_ops
+    from pybader_tpu.ops.pallas_reduce import surface_min_d2
+    from pybader_tpu.ops.reductions import compact_indices
+
+    shape = (96, 96, 128)
+    rho = blob_density(shape, 24, 11)
+    lattice = np.array([[9.0, 0.4, 0.0], [0.0, 8.5, 0.3], [0.2, 0.0, 10.0]])
+    w = tuple(g.distance_weights(lattice, shape))
+    rho_dev = jnp.asarray(rho)
+    labels, maxima = pipeline.partition_ongrid(rho_dev, None, w)
+    n_atoms = len(maxima)
+    rng = np.random.default_rng(2)
+    atoms_cart = rng.random((n_atoms, 3)) @ lattice
+    known = edges_ops.edge_find(rho_dev, labels)
+    mask = known == -2
+
+    d2 = surface_min_d2(labels, mask, jnp.asarray(lattice),
+                        jnp.asarray(atoms_cart), shape, n_atoms)
+    d_pl = np.asarray(jnp.where(jnp.isfinite(d2), jnp.sqrt(d2), 0.0))
+
+    mask_flat = mask.reshape(-1)
+    n_edges = int(jnp.sum(mask_flat))
+    size = max(4096, 1 << (n_edges - 1).bit_length())
+    edge_idx = compact_indices(mask_flat, size)
+    d_ref = np.asarray(atoms_ops.surface_distance_from_edges(
+        edge_idx, labels.reshape(-1), jnp.asarray(lattice),
+        jnp.asarray(atoms_cart), shape, n_atoms))
+    np.testing.assert_allclose(d_pl, d_ref, rtol=3e-5, atol=3e-6)
