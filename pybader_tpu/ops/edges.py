@@ -83,10 +83,41 @@ def _dilate26(mask):
     return _box_reduce(mask, jnp.logical_or)
 
 
-@jax.jit
+def _pallas_edges_ok(labels, is_max) -> bool:
+    from pybader_tpu.ops import pallas_edges
+
+    return (is_max is not None
+            and jax.default_backend() != "cpu"
+            and getattr(labels, "sharding", None) is not None
+            and len(getattr(labels.sharding, "device_set", (1,))) <= 1
+            and pallas_edges.supports_shape(labels.shape))
+
+
 def edge_find(reference: jax.Array, labels: jax.Array,
               is_max: jax.Array | None = None) -> jax.Array:
-    """Full-grid edge scan -> known int8 grid (see module docstring)."""
+    """Full-grid edge scan -> known int8 grid (see module docstring).
+
+    One-pass Pallas kernel on TPU-supported shapes when ``is_max`` is
+    supplied (ops/pallas_edges.py — identical output, pinned by
+    interpret-mode and on-device tests); separable XLA rolls otherwise.
+    """
+    labels = jnp.asarray(labels)
+    if _pallas_edges_ok(labels, is_max):
+        from pybader_tpu.ops import pallas_edges
+
+        try:
+            return pallas_edges.edge_find(labels, is_max)
+        except RuntimeError as e:  # Mosaic compile/launch failure
+            import warnings
+
+            warnings.warn(f"pallas edge kernel unavailable ({e}); "
+                          f"falling back to XLA rolls")
+    return _edge_find_xla(reference, labels, is_max)
+
+
+@jax.jit
+def _edge_find_xla(reference: jax.Array, labels: jax.Array,
+                   is_max: jax.Array | None = None) -> jax.Array:
     nonvac = labels != -1
     is_edge, is_max = _edge_and_max(reference, labels, is_max)
     edge = nonvac & is_edge & ~is_max
@@ -140,14 +171,32 @@ def filter_edges_sorted(cand: jax.Array, known_flat: jax.Array):
     return jnp.where(out == big, jnp.int32(-1), out), count
 
 
-@jax.jit
 def edge_check(known: jax.Array, reference: jax.Array,
                labels: jax.Array,
                is_max: jax.Array | None = None) -> jax.Array:
     """Re-scan only the 27-neighbourhoods of changed edges (known == -2).
 
     Returns the updated known grid; the new edge set is ``known == -2``.
+    Pallas one-pass kernel on TPU-supported shapes (see edge_find).
     """
+    labels = jnp.asarray(labels)
+    if _pallas_edges_ok(labels, is_max):
+        from pybader_tpu.ops import pallas_edges
+
+        try:
+            return pallas_edges.edge_check(known, labels, is_max)
+        except RuntimeError as e:
+            import warnings
+
+            warnings.warn(f"pallas edge kernel unavailable ({e}); "
+                          f"falling back to XLA rolls")
+    return _edge_check_xla(known, reference, labels, is_max)
+
+
+@jax.jit
+def _edge_check_xla(known: jax.Array, reference: jax.Array,
+                    labels: jax.Array,
+                    is_max: jax.Array | None = None) -> jax.Array:
     nonvac = labels != -1
     changed = known == -2
     cand = _dilate26(changed) & nonvac  # self included in the box

@@ -1,0 +1,58 @@
+"""Interpret-mode parity of the Pallas edge kernels vs the XLA stencils."""
+import numpy as np
+import jax.numpy as jnp
+
+from tests.oracle import gaussian_density
+
+from pybader_tpu import grid as g
+from pybader_tpu import pipeline
+from pybader_tpu.ops import edges as E
+from pybader_tpu.ops import pallas_edges as PE
+from pybader_tpu.ops.stencil import ongrid_step_codes
+
+LAT = np.diag([8.0, 9.0, 10.0])
+
+
+def _setup(shape, seed, vac_q=None):
+    rng = np.random.default_rng(seed)
+    rho = gaussian_density(
+        shape, LAT, rng.random((6, 3)), 0.5 + rng.random(6),
+        1 + 2 * rng.random(6)) + 1e-9
+    w = tuple(g.distance_weights(LAT, shape))
+    vac = None if vac_q is None else rho <= np.quantile(rho, vac_q)
+    labels, _ = pipeline.partition_ongrid(rho, vac, w)
+    bk = ongrid_step_codes(jnp.asarray(rho), w)
+    if vac is not None:
+        bk = jnp.where(jnp.asarray(vac), jnp.uint8(13), bk)
+        is_max = (bk == jnp.uint8(13)) & ~jnp.asarray(vac)
+    else:
+        is_max = bk == jnp.uint8(13)
+    return rho, labels, is_max
+
+
+def test_edge_find_matches_xla():
+    for shape, seed, q in (((16, 32, 128), 0, 0.25), ((8, 64, 128), 1, None)):
+        rho, labels, is_max = _setup(shape, seed, q)
+        kn_x = E._edge_find_xla(jnp.asarray(rho), labels, is_max)
+        kn_p = PE.edge_find(labels, is_max, interpret=True)
+        assert int(jnp.sum(kn_x != kn_p)) == 0, (shape, seed)
+
+
+def test_edge_check_matches_xla():
+    shape = (16, 32, 128)
+    rho, labels, is_max = _setup(shape, 2, 0.3)
+    kn = E._edge_find_xla(jnp.asarray(rho), labels, is_max)
+    # simulate a refinement iteration's known dance: some edges drop to
+    # -1 (unchanged), some voxels get relabelled
+    rng = np.random.default_rng(3)
+    ed = np.asarray(kn) == -2
+    kn_mod = np.where((rng.random(shape) < 0.5) & ed, -1,
+                      np.asarray(kn)).astype(np.int8)
+    lab_mod = np.asarray(labels).copy()
+    sel = (rng.random(shape) < 0.1) & ed
+    lab_mod[sel] = (lab_mod[sel] + 1) % int(lab_mod.max() + 1)
+    ck_x = E._edge_check_xla(jnp.asarray(kn_mod), jnp.asarray(rho),
+                             jnp.asarray(lab_mod), is_max)
+    ck_p = PE.edge_check(jnp.asarray(kn_mod), jnp.asarray(lab_mod),
+                         is_max, interpret=True)
+    assert int(jnp.sum(ck_x != ck_p)) == 0

@@ -468,3 +468,38 @@ def test_pallas_surface_distance_matches_compaction():
         edge_idx, labels.reshape(-1), jnp.asarray(lattice),
         jnp.asarray(atoms_cart), shape, n_atoms))
     np.testing.assert_allclose(d_pl, d_ref, rtol=3e-5, atol=3e-6)
+
+
+def test_pallas_edge_kernels_match_xla():
+    """One-pass Pallas edge_find/edge_check vs the XLA roll stencils on
+    device, through a real refinement iteration's known dance."""
+    from pybader_tpu import pipeline
+    from pybader_tpu.ops import edges as E
+    from pybader_tpu.ops import pallas_edges as PE
+
+    shape = (96, 96, 128)
+    rho = blob_density(shape, 20, 13)
+    lattice = np.diag([9.0, 9.0, 10.0])
+    w = tuple(g.distance_weights(lattice, shape))
+    rho_dev = jnp.asarray(rho)
+    vac = rho_dev <= 2e-2 * float(rho.max())
+    labels, _ = pipeline.partition_ongrid(rho_dev, vac, w)
+    bk = ongrid_step_codes(rho_dev, w)
+    bk = jnp.where(vac, jnp.uint8(13), bk)
+    is_max = (bk == jnp.uint8(13)) & ~vac
+
+    kn_x = E._edge_find_xla(rho_dev, labels, is_max)
+    kn_p = PE.edge_find(labels, is_max)
+    assert int(jnp.sum(kn_x != kn_p)) == 0
+
+    rng = np.random.default_rng(5)
+    ed = np.asarray(kn_x) == -2
+    kn_mod = jnp.asarray(np.where((rng.random(shape) < 0.5) & ed, -1,
+                                  np.asarray(kn_x)).astype(np.int8))
+    lab_mod = np.asarray(labels).copy()
+    sel = (rng.random(shape) < 0.1) & ed
+    lab_mod[sel] = (lab_mod[sel] + 1) % int(lab_mod.max() + 1)
+    lab_mod = jnp.asarray(lab_mod)
+    ck_x = E._edge_check_xla(kn_mod, rho_dev, lab_mod, is_max)
+    ck_p = PE.edge_check(kn_mod, lab_mod, is_max)
+    assert int(jnp.sum(ck_x != ck_p)) == 0
