@@ -503,3 +503,15 @@ def test_pallas_edge_kernels_match_xla():
     ck_x = E._edge_check_xla(kn_mod, rho_dev, lab_mod, is_max)
     ck_p = PE.edge_check(kn_mod, lab_mod, is_max)
     assert int(jnp.sum(ck_x != ck_p)) == 0
+
+
+def test_resolve_roots_pallas_matches_doubling():
+    """Chase-kernel root resolution (the compact-basin secondary backend)
+    vs XLA pointer doubling."""
+    shape = (96, 64, 128)
+    rho_dev, w, _ = _setup(shape, 10, 6, False)
+    bk = ongrid_step_codes(rho_dev, w)
+    parent = parent_from_step_codes(bk)
+    roots_pl = pallas_chase.resolve_roots_pallas(parent, bk)
+    roots_xla = resolve_roots(parent)
+    assert int(jnp.sum(roots_pl != roots_xla)) == 0
