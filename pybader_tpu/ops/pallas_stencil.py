@@ -55,6 +55,16 @@ def _two_prod(a, b):
     return p, e
 
 
+def _two_prod_presplit(a, b, b_sp_hi, b_sp_lo):
+    """two_prod with b's Dekker split precomputed (b is a per-neighbour
+    scalar weight: splitting it per element wasted 3 VPU ops/candidate)."""
+    p = a * b
+    a_hi, a_lo = _split(a)
+    e = ((a_hi * b_sp_hi - p) + a_hi * b_sp_lo + a_lo * b_sp_hi) \
+        + a_lo * b_sp_lo
+    return p, e
+
+
 def _dd_add(x_hi, x_lo, y_hi, y_lo):
     s, e = _two_sum(x_hi, y_hi)
     e = e + (x_lo + y_lo)
@@ -65,8 +75,8 @@ def _dd_sub(x_hi, x_lo, y_hi, y_lo):
     return _dd_add(x_hi, x_lo, -y_hi, -y_lo)
 
 
-def _dd_mul_scalar(x_hi, x_lo, w_hi, w_lo):
-    p, e = _two_prod(x_hi, w_hi)
+def _dd_mul_scalar(x_hi, x_lo, w_hi, w_lo, w_sp_hi, w_sp_lo):
+    p, e = _two_prod_presplit(x_hi, w_hi, w_sp_hi, w_sp_lo)
     e = e + (x_hi * w_lo + x_lo * w_hi)
     return _quick_two_sum(p, e)
 
@@ -108,8 +118,8 @@ def _make_kernel(nx, ny, nz, bx, by, halo, perm=(0, 1, 2)):
     for local_axis, orig_axis in enumerate(perm):
         axis_w[local_axis] = (9, 3, 1)[orig_axis]
 
-    def kernel(whi_ref, wlo_ref, hi_any, lo_any, out_ref,
-               hi_loc, lo_loc, sems):
+    def kernel(whi_ref, wlo_ref, wsph_ref, wspl_ref, hi_any, lo_any,
+               out_ref, hi_loc, lo_loc, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
         x0 = i * np.int32(bx)
@@ -172,18 +182,23 @@ def _make_kernel(nx, ny, nz, bx, by, halo, perm=(0, 1, 2)):
                         n_hi, n_lo = hxy, lxy
                     n_hi = n_hi[halo:halo + bx, halo:halo + by, :]
                     n_lo = n_lo[halo:halo + bx, halo:halo + by, :]
-                    # cand = (rho_n - rho_p) * w + rho_p in dd
+                    # q = (rho_n - rho_p) * w in dd.  The reference
+                    # compares q + rho_p (methods.py:87-117); the +rho_p
+                    # shift is common to every candidate INCLUDING the
+                    # centre (whose q is 0), so comparing q directly is
+                    # order-equivalent — and drops a dd addition (~11 VPU
+                    # ops) per candidate while removing one rounding.
                     d_hi, d_lo = _dd_sub(n_hi, n_lo, p_hi, p_lo)
                     m_hi, m_lo = _dd_mul_scalar(
-                        d_hi, d_lo, whi_ref[k], wlo_ref[k])
-                    c_hi, c_lo = _dd_add(m_hi, m_lo, p_hi, p_lo)
-                    upd = _dd_gt(c_hi, c_lo, best_hi, best_lo)
-                    upd = upd | (_dd_eq(c_hi, c_lo, best_hi, best_lo)
+                        d_hi, d_lo, whi_ref[k], wlo_ref[k],
+                        wsph_ref[k], wspl_ref[k])
+                    upd = _dd_gt(m_hi, m_lo, best_hi, best_lo)
+                    upd = upd | (_dd_eq(m_hi, m_lo, best_hi, best_lo)
                                  & (best_orig >= jnp.int32(0))
                                  & (orig < best_orig))
                     upd = jnp.logical_and(upd, k != jnp.int32(SELF_INDEX))
-                    best_hi = jnp.where(upd, c_hi, best_hi)
-                    best_lo = jnp.where(upd, c_lo, best_lo)
+                    best_hi = jnp.where(upd, m_hi, best_hi)
+                    best_lo = jnp.where(upd, m_lo, best_lo)
                     best_k = jnp.where(upd, k, best_k)
                     best_orig = jnp.where(upd, orig, best_orig)
                 return best_hi, best_lo, best_k, best_orig
@@ -192,7 +207,9 @@ def _make_kernel(nx, ny, nz, bx, by, halo, perm=(0, 1, 2)):
                 jnp.int32(0), jnp.int32(3), over_dy,
                 (best_hi, best_lo, best_k, best_orig))
 
-        init = (p_hi, p_lo,
+        # best q starts at 0 (the centre's own candidate: q_self == 0)
+        init = (jnp.zeros((bx, by, nz), jnp.float32),
+                jnp.zeros((bx, by, nz), jnp.float32),
                 jnp.full((bx, by, nz), SELF_INDEX, dtype=jnp.int32),
                 jnp.full((bx, by, nz), -1, dtype=jnp.int32))
         _, _, best_k, _ = jax.lax.fori_loop(
@@ -210,10 +227,16 @@ def _stencil_call(hi, lo, weights, bx, by, halo, perm=(0, 1, 2)):
     w = np.asarray(weights, dtype=np.float64)
     w_hi = w.astype(np.float32)
     w_lo = (w - w_hi).astype(np.float32)
+    # Dekker split of w_hi, precomputed (same arithmetic as _split)
+    c = w_hi * np.float32(4097.0)
+    w_sp_hi = (c - (c - w_hi)).astype(np.float32)
+    w_sp_lo = (w_hi - w_sp_hi).astype(np.float32)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -230,7 +253,8 @@ def _stencil_call(hi, lo, weights, bx, by, halo, perm=(0, 1, 2)):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(jnp.asarray(w_hi), jnp.asarray(w_lo), hi, lo)
+    )(jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(w_sp_hi),
+      jnp.asarray(w_sp_lo), hi, lo)
     return out
 
 
