@@ -84,13 +84,23 @@ def _dilate26(mask):
 
 
 def _pallas_edges_ok(labels, is_max) -> bool:
+    if is_max is None or jax.default_backend() == "cpu":
+        return False
+    try:
+        if isinstance(labels, jax.core.Tracer):
+            # under an outer jit/shard_map trace the runtime Mosaic
+            # fallback could not catch compile failures, and sharded
+            # callers want the GSPMD roll stencils anyway
+            return False
+        sharding = getattr(labels, "sharding", None)
+        if sharding is None or len(
+                getattr(sharding, "device_set", (1, 1))) > 1:
+            return False
+    except Exception:
+        return False
     from pybader_tpu.ops import pallas_edges
 
-    return (is_max is not None
-            and jax.default_backend() != "cpu"
-            and getattr(labels, "sharding", None) is not None
-            and len(getattr(labels.sharding, "device_set", (1,))) <= 1
-            and pallas_edges.supports_shape(labels.shape))
+    return pallas_edges.supports_shape(labels.shape)
 
 
 def edge_find(reference: jax.Array, labels: jax.Array,

@@ -481,7 +481,8 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
                parent_flat: jax.Array, stop_flat: jax.Array,
                t_grad: jax.Array, shape: tuple,
                strict_grad: bool = False, max_steps: int = 0,
-               segments=(4, 4, 8, 16, 32, 64), min_batch: int = 4096,
+               segments=(8, 8, 8, 8, 16, 16, 32, 32, 64),
+               min_batch: int = 4096,
                progress=None, fields=None, rows_dtype=None):
     """:func:`walk` with packed operands and tail-latency drain.
 
@@ -495,11 +496,13 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
       and a few-lane f64 row gather costs the same as a single element
       (measured 30.9M rows/s vs 32.6M f64 elements/s at 16M lanes);
     - walking proceeds in bounded-step slices; after each slice the
-      still-running lanes are compacted into the smallest power-of-4
+      still-running lanes are compacted into the smallest 2^k / 3*2^k
       bucket that holds them, so a step costs the live batch, not the
-      initial one.  The slice schedule starts short (most lanes retire in
-      the first few steps) and grows geometrically for the long tail,
-      bounded by a lane-step budget per dispatched program.
+      initial one.  The slice schedule keeps slices short through the
+      mid-decay (repeated 8/16/32-step slices: on the measured 384^3
+      edge-walk decay the first shrink lands at step 8 and wider
+      mid-decay slices paid ~30% bucket padding) and grows only for the
+      long tail, bounded by a lane-step budget per dispatched program.
 
     ``fields``: optional (N,4) rows from :func:`precompute_rows` (with
     any stop bits already baked via :func:`update_stop`) — pass it when
