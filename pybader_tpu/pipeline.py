@@ -217,6 +217,12 @@ _NEARGRID_HYBRID_REFINE = ("changed", 3)
 # fall back to the full-grid compaction sort (bounded at n int32 keys).
 _CAND_CAP = 1 << 26
 
+# Largest walker bucket walked in one dispatch; bigger edge sets walk in
+# chunks of this size (512^3-class sets next to the rows buffer exceed
+# HBM in one bucket).  Module constant so tests can exercise the chunked
+# path at small scale.
+_WALK_CHUNK_CAP = 1 << 23
+
 
 def partition_neargrid(reference, vacuum, weights, t_grad,
                        batch: int = _WALK_BATCH,
@@ -439,7 +445,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     f"walking")
             # bound per-walk state: 512^3-class edge sets (13M+) next to
             # the 4.3 GB rows buffer exceed HBM if walked in one bucket
-            chunk_cap = 1 << 23
+            chunk_cap = _WALK_CHUNK_CAP
             if size > chunk_cap:
                 parts = []
                 for lo2 in range(0, size, chunk_cap):

@@ -252,3 +252,18 @@ def test_partition_neargrid_hybrid_carry_out():
     c_u, _ = reductions.charge_volume_sum(
         jnp.asarray(rho), jnp.asarray(lab_u), vv, len(max_u))
     np.testing.assert_allclose(np.asarray(c_c), np.asarray(c_u), rtol=1e-9)
+
+
+def test_refine_chunked_walk_matches_unchunked(monkeypatch):
+    """The HBM-bounding chunked walk (normally only at 512^3-class edge
+    sets) must produce identical refinement to the single-bucket walk."""
+    rho, w, tg = _setup(6)
+    w = tuple(w)
+    labels0, _ = pipeline.partition_ongrid(rho, None, w)
+    ref_a, ch_a = pipeline.refine_labels(
+        "neargrid", ("changed", 2), rho, labels0, w, tg, verbose=False)
+    monkeypatch.setattr(pipeline, "_WALK_CHUNK_CAP", 2048)
+    ref_b, ch_b = pipeline.refine_labels(
+        "neargrid", ("changed", 2), rho, labels0, w, tg, verbose=False)
+    assert ch_a == ch_b
+    np.testing.assert_array_equal(np.asarray(ref_a), np.asarray(ref_b))
