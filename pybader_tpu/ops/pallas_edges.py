@@ -42,8 +42,14 @@ def supports_shape(shape) -> bool:
             and h % 32 == 0 and w % 128 == 0)
 
 
-def _group_planes(npl: int) -> int:
+def _group_planes(npl: int, plane_bytes: int) -> int:
+    """Planes per group, bounded so the ~12 live i32 planes per group
+    plane (3 label blocks + window extrema + edge/dilation caches) stay
+    well inside the 128 MB physical VMEM at 512^2-class plane sizes."""
     for k in (8, 4, 2):
+        if npl % k == 0 and (k + 4) * plane_bytes * 12 <= 96 * 1024 * 1024:
+            return k
+    for k in (4, 2):
         if npl % k == 0:
             return k
     raise ValueError(npl)
@@ -143,7 +149,7 @@ def _make_kernel(k: int, h: int, w: int, check: bool):
 
 def _call(labels, is_max, known, check: bool, interpret: bool):
     npl, h, w = labels.shape
-    k = _group_planes(npl)
+    k = _group_planes(npl, h * w * 4)
     nb = npl // k
 
     def cm(d):
@@ -162,7 +168,7 @@ def _call(labels, is_max, known, check: bool, interpret: bool):
         out_specs=pl.BlockSpec((k, h, w), cm(0)),
         out_shape=jax.ShapeDtypeStruct((npl, h, w), jnp.int8),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=192 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
 
