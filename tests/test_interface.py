@@ -239,3 +239,36 @@ def test_cli_export_all_atoms(tmp_path, monkeypatch):
                "-e", "all_atoms"])
     assert (tmp_path / "Bader-atoms-0-CHGCAR").exists()
     assert (tmp_path / "Bader-atoms-1-CHGCAR").exists()
+
+
+def test_interface_hybrid_carry_wiring(tmp_path, monkeypatch):
+    """With the hybrid forced on (threshold 0), bader_calc stashes the
+    refinement carry and refine_volumes chains on it — the labels must be
+    bit-identical to the explicit pipeline-level carry composition."""
+    import jax.numpy as jnp
+
+    from pybader_tpu import grid as g
+    from pybader_tpu import pipeline
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(pipeline, "_NEARGRID_HYBRID_THRESHOLD", 0)
+    bader = make_bader(tmp_path)
+    bader.method = "neargrid"
+    bader.refine_mode = ("changed", 2)
+    bader.volumes_init()
+    bader.bader_calc()
+    assert bader._refine_carry, "hybrid bader_calc should stash the carry"
+    bader.refine_volumes(bader.bader_volumes)
+    assert bader._refine_carry is None, "carry must be single-use"
+
+    rho = bader.reference
+    w = tuple(g.distance_weights(bader.lattice, rho.shape))
+    tg = g.t_grad(bader.lattice, rho.shape)
+    carry = {}
+    lab, _ = pipeline.partition_neargrid(
+        rho, None, w, tg, full_trajectories=False, carry_out=carry)
+    lab, _ = pipeline.refine_labels(
+        "neargrid", ("changed", 2), rho, jnp.asarray(lab), w, tg,
+        verbose=False, carry_in=carry)
+    np.testing.assert_array_equal(
+        np.asarray(bader.bader_volumes), np.asarray(lab))
