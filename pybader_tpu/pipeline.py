@@ -462,7 +462,10 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     t_grad, shape, strict_grad=True, max_steps=192,
                     fields=walk_fields, **wkw,
                 )
-        n_capped = int(jnp.sum(~done[:n_edges])) if not bool(
+        # padding lanes are born done, so the full-width sum equals the
+        # valid-lane count (no dynamic slice: a [:n_edges] view compiled
+        # a fresh program per edge count)
+        n_capped = int(jnp.sum(~done)) if not bool(
             jnp.all(done)) else 0
         if n_capped:
             # step-cap stragglers resolve through their ongrid root — an
@@ -485,14 +488,13 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     roots_flat = resolve_roots_auto(parent, bk).reshape(-1)
             pos = jnp.where(done, pos,
                             jnp.take(roots_flat, pos, mode="clip"))
-        labels_flat = labels.reshape(-1)
-        starts_dev = starts_dev_padded[:n_edges]
-        new_lab = jnp.take(labels_flat, pos[:n_edges], mode="clip")
-        old_lab = jnp.take(labels_flat, starts_dev, mode="clip")
-        changed_mask = new_lab != old_lab
-        changed = int(jnp.sum(changed_mask))
+        labels_flat, known_flat, changed_mask, changed_dev = \
+            _apply_walk_results(labels.reshape(-1), known.reshape(-1),
+                                starts_dev_padded, pos)
+        labels = labels_flat.reshape(shape)
+        known = known_flat.reshape(shape)
+        changed = int(changed_dev)
         total_changed += changed
-        labels = labels_flat.at[starts_dev].set(new_lab).reshape(shape)
         if stats is not None:
             stats["iterations"].append((n_edges, changed, n_capped))
         if verbose:
@@ -500,13 +502,6 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         if changed == 0:
             converged = True
             break
-        # bookkeeping on the edge set we just walked: changed stay -2,
-        # unchanged drop to -1 (reference refinement.py:288-302 known dance)
-        known_flat = known.reshape(-1)
-        known_flat = known_flat.at[starts_dev].set(
-            jnp.where(changed_mask, jnp.int8(-2), jnp.int8(-1))
-        )
-        known = known_flat.reshape(shape)
         if it >= max_iters and carry_out is None:
             break
         if str(mode).lower() == "all":
@@ -531,7 +526,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 big = jnp.int32(np.iinfo(np.int32).max)
                 cpow = max(4096, 1 << (changed - 1).bit_length())
                 ch_starts = jnp.sort(
-                    jnp.where(changed_mask, starts_dev, big))[:cpow]
+                    jnp.where(changed_mask, starts_dev_padded, big))[:cpow]
                 ch_starts = jnp.where(ch_starts == big, jnp.int32(-1),
                                       ch_starts)
                 cand = edges_ops.neighbors27_flat(ch_starts, shape)
@@ -548,6 +543,31 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 is_max=is_max, fields=walk_fields,
             )
     return labels, total_changed
+
+
+@jax.jit
+def _apply_walk_results(labels_flat, known_flat, starts_padded, pos):
+    """One-dispatch post-walk update: label pickup + write + known dance.
+
+    Operates on the full padded walker bucket (invalid lanes carry
+    starts == -1 and are dropped by out-of-bounds scatter), so the
+    program compiles once per bucket size instead of per edge count, and
+    the new/old label gathers, the label scatter, the reference known
+    dance (refinement.py:288-302: changed stay -2, unchanged drop to -1)
+    and the changed count all fuse into a single program.
+    returns (labels_flat, known_flat, changed_mask, changed_count).
+    """
+    valid = starts_padded >= 0
+    n = labels_flat.shape[0]
+    idx = jnp.where(valid, starts_padded, jnp.int32(n))  # OOB -> dropped
+    new_lab = jnp.take(labels_flat, jnp.clip(pos, 0), mode="clip")
+    old_lab = jnp.take(labels_flat, jnp.clip(starts_padded, 0),
+                       mode="clip")
+    changed_mask = valid & (new_lab != old_lab)
+    labels_flat = labels_flat.at[idx].set(new_lab, mode="drop")
+    known_flat = known_flat.at[idx].set(
+        jnp.where(changed_mask, jnp.int8(-2), jnp.int8(-1)), mode="drop")
+    return labels_flat, known_flat, changed_mask, jnp.sum(changed_mask)
 
 
 def _fit_starts(starts_sorted: jax.Array, size: int) -> jax.Array:
