@@ -219,8 +219,10 @@ def _make_kernel(nx, ny, nz, bx, by, halo, perm=(0, 1, 2)):
     return kernel, rx, ry
 
 
-@partial(jax.jit, static_argnames=("weights", "bx", "by", "halo", "perm"))
-def _stencil_call(hi, lo, weights, bx, by, halo, perm=(0, 1, 2)):
+@partial(jax.jit, static_argnames=("weights", "bx", "by", "halo", "perm",
+                                   "interpret"))
+def _stencil_call(hi, lo, weights, bx, by, halo, perm=(0, 1, 2),
+                  interpret=False):
     nx, ny, nz = hi.shape
     kernel, rx, ry = _make_kernel(nx, ny, nz, bx, by, halo, perm)
     grid = (nx // bx, ny // by)
@@ -253,6 +255,7 @@ def _stencil_call(hi, lo, weights, bx, by, halo, perm=(0, 1, 2)):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(jnp.asarray(w_hi), jnp.asarray(w_lo), jnp.asarray(w_sp_hi),
       jnp.asarray(w_sp_lo), hi, lo)
     return out

@@ -56,3 +56,27 @@ def test_edge_check_matches_xla():
     ck_p = PE.edge_check(jnp.asarray(kn_mod), jnp.asarray(lab_mod),
                          is_max, interpret=True)
     assert int(jnp.sum(ck_x != ck_p)) == 0
+
+
+def test_dd_stencil_interpret_matches_exact_f64():
+    """The q-comparison dd stencil (interpret mode) equals the exact-f64
+    XLA stencil bit-for-bit on a gaussian-mixture field."""
+    import jax
+
+    from pybader_tpu.ops import pallas_stencil as ps
+
+    shape = (16, 16, 128)
+    lat = np.diag([7.0, 8.0, 9.0])
+    rng = np.random.default_rng(1)
+    rho = gaussian_density(
+        shape, lat, rng.random((5, 3)), 0.5 + rng.random(5),
+        1 + 2 * rng.random(5)) + 1e-9
+    w = tuple(g.distance_weights(lat, shape))
+    rho_d = jnp.asarray(rho)
+    hi = rho_d.astype(jnp.float32)
+    lo = (rho_d - hi.astype(jnp.float64)).astype(jnp.float32)
+    with jax.enable_x64(False):
+        bk_p = ps._stencil_call(hi, lo, w, 8, 8, 8, interpret=True)
+    bk_x = ongrid_step_codes(rho_d, w)
+    assert int(jnp.sum(bk_p.astype(jnp.int32)
+                       != bk_x.astype(jnp.int32))) == 0
