@@ -115,8 +115,8 @@ def _make_kernel(npl: int, h: int, w: int, reverse: bool, k: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("reverse",))
-def _scan_call(lm, cm, im, reverse: bool):
+@partial(jax.jit, static_argnames=("reverse", "interpret"))
+def _scan_call(lm, cm, im, reverse: bool, interpret: bool = False):
     npl, h, w = lm.shape
     k = next((g for g in (8, 4, 2) if npl % g == 0), 1)
     kernel = _make_kernel(npl, h, w, reverse, k)
@@ -144,6 +144,7 @@ def _scan_call(lm, cm, im, reverse: bool):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(lm, cm, im, lm)
 
 

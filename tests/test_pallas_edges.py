@@ -80,3 +80,40 @@ def test_dd_stencil_interpret_matches_exact_f64():
     bk_x = ongrid_step_codes(rho_d, w)
     assert int(jnp.sum(bk_p.astype(jnp.int32)
                        != bk_x.astype(jnp.int32))) == 0
+
+
+def test_flood_scan_interpret_matches_xla():
+    """One Pallas directional flood scan (interpret) == the XLA
+    grouped-plane scan, both directions, all axes."""
+    import jax
+
+    from pybader_tpu import pipeline
+    from pybader_tpu.ops import pallas_flood as pf
+    from pybader_tpu.ops import scanflood as sf
+    from pybader_tpu.ops.pallas_chase import _flood_seed
+
+    shape = (32, 32, 128)
+    lat = np.diag([7.0, 8.0, 9.0])
+    rng = np.random.default_rng(4)
+    rho = gaussian_density(
+        shape, lat, rng.random((6, 3)), 0.5 + rng.random(6),
+        1 + 2 * rng.random(6)) + 1e-9
+    w = tuple(g.distance_weights(lat, shape))
+    bk = ongrid_step_codes(jnp.asarray(rho), w)
+    with jax.enable_x64(False):
+        seed, _, _ = _flood_seed(bk, bk, False)
+        codes = [sf._axis_codes(bk, a) for a in range(3)]
+        lab = seed
+        for axis in range(3):
+            comp, inplane = codes[axis]
+            for reverse in (False, True):
+                ref = sf.scan_flood_dir(
+                    lab + 0, comp, inplane, axis, reverse, 1)
+                lm = jnp.moveaxis(lab, axis, 0)
+                got = pf._scan_call(
+                    lm, jnp.moveaxis(comp, axis, 0),
+                    jnp.moveaxis(inplane, axis, 0), reverse,
+                    interpret=True)
+                got = jnp.moveaxis(got, 0, axis)
+                assert int(jnp.sum(got != ref)) == 0, (axis, reverse)
+                lab = ref  # advance so later scans see realistic state
