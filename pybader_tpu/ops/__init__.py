@@ -20,3 +20,20 @@ reference's 19 numba ``@njit`` kernels (see SURVEY.md §2.4):
  - :mod:`atoms`      — maxima->atom assignment and min surface distance
                        (ref utils.py: atom_assign, surface_dist)
 """
+
+import os as _os
+
+
+def pallas_disabled(name: str) -> bool:
+    """Operational escape hatch: PYBADER_TPU_DISABLE_PALLAS is a comma
+    list of backend names ('flood', 'edges', 'stencil', 'reduce',
+    'surface', 'chase' or 'all') whose Pallas kernels are skipped in
+    favour of the XLA formulations.  Diagnostic/fallback knob — e.g. to
+    sidestep a Mosaic compile problem at one grid size without a code
+    change; the XLA paths are semantically identical (pinned by the
+    interpret-mode parity tests)."""
+    raw = _os.environ.get("PYBADER_TPU_DISABLE_PALLAS", "")
+    if not raw:
+        return False
+    items = {s.strip().lower() for s in raw.split(",")}
+    return "all" in items or name.lower() in items

@@ -58,8 +58,11 @@ def surface_distance_masked(labels: jax.Array, edge_mask: jax.Array,
     returns (num_atoms,) f64 distances, 0.0 for atoms with no edge voxel
     (reference thread_handlers.py:289-297).
     """
+    from pybader_tpu.ops import pallas_disabled
+
     shape = tuple(labels.shape)
-    use_pallas = (interpret or jax.default_backend() != "cpu")
+    use_pallas = (interpret or (jax.default_backend() != "cpu"
+                                and not pallas_disabled("surface")))
     if use_pallas and int(num_atoms) <= 256:
         try:
             from pybader_tpu.ops.pallas_reduce import surface_min_d2

@@ -84,7 +84,10 @@ def _dilate26(mask):
 
 
 def _pallas_edges_ok(labels, is_max) -> bool:
-    if is_max is None or jax.default_backend() == "cpu":
+    from pybader_tpu.ops import pallas_disabled
+
+    if is_max is None or jax.default_backend() == "cpu" \
+            or pallas_disabled("edges"):
         return False
     try:
         if isinstance(labels, jax.core.Tracer):

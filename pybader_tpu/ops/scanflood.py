@@ -186,7 +186,10 @@ def _make_round(shape, codes, force_xla: bool = False):
     the per-axis step codes are transposed once up front.  Either way the
     whole round is one jitted program returning (labels, n_unlabeled).
     """
-    use_pallas = jax.default_backend() != "cpu" and not force_xla
+    from pybader_tpu.ops import pallas_disabled
+
+    use_pallas = (jax.default_backend() != "cpu" and not force_xla
+                  and not pallas_disabled("flood"))
     if use_pallas:
         from pybader_tpu.ops import pallas_flood
 

@@ -43,9 +43,10 @@ def _step_codes_auto(reference, weights, exact_stencil=False):
     stencil (rolls lower to halo collectives under GSPMD; pallas_call
     does not auto-partition).
     """
-    from pybader_tpu.ops import pallas_stencil
+    from pybader_tpu.ops import pallas_disabled, pallas_stencil
 
     if (not exact_stencil and jax.default_backend() != "cpu"
+            and not pallas_disabled("stencil")
             and not _is_multidevice(reference)):
         if pallas_stencil.supports_shape(reference.shape):
             return pallas_stencil.ongrid_step_codes_dd(
