@@ -20,9 +20,9 @@ import numpy as np
 def _pallas_reduce_ok(a, num_segments: int) -> bool:
     """Route to the Pallas per-label kernels: TPU, small label count,
     single-device array (pallas_call does not auto-partition)."""
-    from pybader_tpu.ops import pallas_reduce
+    from pybader_tpu.ops import pallas_disabled, pallas_reduce
 
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" or pallas_disabled("reduce"):
         return False
     if num_segments > pallas_reduce.MAX_LABELS:
         return False
