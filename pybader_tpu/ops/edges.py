@@ -120,7 +120,9 @@ def edge_find(reference: jax.Array, labels: jax.Array,
 
         try:
             return pallas_edges.edge_find(labels, is_max)
-        except RuntimeError as e:  # Mosaic compile/launch failure
+        except Exception as e:  # Mosaic compile/launch failure; remote
+            # AOT compile errors do not reliably subclass RuntimeError,
+            # and the jitted XLA path below is semantically identical
             import warnings
 
             warnings.warn(f"pallas edge kernel unavailable ({e}); "
@@ -198,7 +200,7 @@ def edge_check(known: jax.Array, reference: jax.Array,
 
         try:
             return pallas_edges.edge_check(known, labels, is_max)
-        except RuntimeError as e:
+        except Exception as e:  # see edge_find: fall back, never die
             import warnings
 
             warnings.warn(f"pallas edge kernel unavailable ({e}); "

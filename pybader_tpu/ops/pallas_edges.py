@@ -74,6 +74,16 @@ def _inplane_box(p, combine, h: int, w: int):
     return _win3(_roll2(t, 0, -1, h, w), t, _roll2(t, 0, 1, h, w), combine)
 
 
+def _inplane_box_or(mask, h: int, w: int):
+    """In-plane 3x3 dilation of a bool plane -> bool.
+
+    Mosaic's vector rotate only handles 32-bit lanes ("Rotate with
+    non-32-bit data" on i1 vectors, v5e), so the dilation widens the mask
+    to int32 before the rolls and narrows back after."""
+    return _inplane_box(
+        mask.astype(jnp.int32), jnp.bitwise_or, h, w) != 0
+
+
 def _make_kernel(k: int, h: int, w: int, check: bool):
     def kernel(*refs):
         if check:
@@ -90,8 +100,12 @@ def _make_kernel(k: int, h: int, w: int, check: bool):
                 return refN[j - k]
             return refC[j]
 
+        # Mosaic (v5e) vectorises compares on 32-bit lanes only ("Target
+        # does not support this comparison" on i8/u8 vectors), so every
+        # sub-32-bit plane widens to int32 at load.
         lab = lambda j: plane(labP, labC, labN, j)  # noqa: E731
-        mx = lambda j: plane(mxP, mxC, mxN, j) != 0  # noqa: E731
+        mx = lambda j: (  # noqa: E731
+            plane(mxP, mxC, mxN, j).astype(jnp.int32) != 0)
 
         # window extrema with vacuum sentinels, cached per needed plane
         xmax, xmin = {}, {}
@@ -112,7 +126,7 @@ def _make_kernel(k: int, h: int, w: int, check: bool):
             ep, din = {}, {}
             for j in range(-1, k + 1):
                 ep[j] = is_edge[j] & (lab(j) != -1) & (~mx(j))
-                din[j] = _inplane_box(ep[j], jnp.logical_or, h, w)
+                din[j] = _inplane_box_or(ep[j], h, w)
             for j in range(k):
                 near = din[j - 1] | din[j] | din[j + 1]
                 nonvac = lab(j) != -1
@@ -124,18 +138,18 @@ def _make_kernel(k: int, h: int, w: int, check: bool):
                 out_ref[j] = out.astype(jnp.int8)
             return
 
-        kn = lambda j: plane(knP, knC, knN, j)  # noqa: E731
+        kn = lambda j: plane(knP, knC, knN, j).astype(jnp.int32)  # noqa: E731
         # cand = dilate26(known == -2) & nonvac, per plane in [-1, k]
         chg_in = {}
         for j in range(-2, k + 2):
-            chg_in[j] = _inplane_box(kn(j) == -2, jnp.logical_or, h, w)
+            chg_in[j] = _inplane_box_or(kn(j) == -2, h, w)
         cand, newe, din = {}, {}, {}
         for j in range(-1, k + 1):
             c = (chg_in[j - 1] | chg_in[j] | chg_in[j + 1]) \
                 & (lab(j) != -1)
             cand[j] = c
             newe[j] = c & is_edge[j] & (~mx(j))
-            din[j] = _inplane_box(newe[j], jnp.logical_or, h, w)
+            din[j] = _inplane_box_or(newe[j], h, w)
         for j in range(k):
             out = knC[j].astype(jnp.int32)
             out = jnp.where(cand[j] & (~is_edge[j]), jnp.int32(-1), out)

@@ -128,7 +128,8 @@ def _minpair_kernel(lab_ref, mask_ref, mn_ref, mm_ref, *, kp: int, r: int):
     row = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (r, _LANES), 1)
     iota = base + row * jnp.int32(_LANES) + col
-    iota_m = jnp.where(mask_ref[...] != 0, iota, big)
+    # u8 vector compares are unsupported on v5e — widen the mask to i32
+    iota_m = jnp.where(mask_ref[...].astype(jnp.int32) != 0, iota, big)
     for k in range(kp):
         m = lab == jnp.int32(k)
         mn_ref[k, :] = jnp.min(jnp.where(m, iota, big), axis=0)
@@ -216,7 +217,9 @@ def _surface_kernel(lab_ref, mask_ref, ax_ref, ay_ref, az_ref, sh_ref,
         ty = dy - sh_ref[3 * i + 1]
         tz = dz - sh_ref[3 * i + 2]
         d2 = jnp.minimum(d2, tx * tx + ty * ty + tz * tz)
-    d2 = jnp.where((mask_ref[...] != 0) & (lab >= 0), d2, big)
+    # u8 vector compares are unsupported on v5e — widen the mask to i32
+    d2 = jnp.where(
+        (mask_ref[...].astype(jnp.int32) != 0) & (lab >= 0), d2, big)
     for k in range(kp):
         out_ref[k, :] = jnp.min(
             jnp.where(lab == jnp.int32(k), d2, big), axis=0)

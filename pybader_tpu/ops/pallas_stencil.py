@@ -182,23 +182,30 @@ def _make_kernel(nx, ny, nz, bx, by, halo, perm=(0, 1, 2)):
                         n_hi, n_lo = hxy, lxy
                     n_hi = n_hi[halo:halo + bx, halo:halo + by, :]
                     n_lo = n_lo[halo:halo + bx, halo:halo + by, :]
-                    # q = (rho_n - rho_p) * w in dd.  The reference
-                    # compares q + rho_p (methods.py:87-117); the +rho_p
-                    # shift is common to every candidate INCLUDING the
-                    # centre (whose q is 0), so comparing q directly is
-                    # order-equivalent — and drops a dd addition (~11 VPU
-                    # ops) per candidate while removing one rounding.
+                    # cand = (rho_n - rho_p) * w + rho_p in dd, exactly as
+                    # the f64 reference computes it (methods.py:87-117).
+                    # Comparing the raw q = (rho_n - rho_p) * w would be
+                    # order-equivalent in exact arithmetic and one dd
+                    # addition cheaper — but the f64 oracle's +rho_p
+                    # addition QUANTIZES (absorbing the low bits of q into
+                    # ulp(rho_p)), creating exact ties that scan order
+                    # then breaks; ranking the un-quantized q values
+                    # resolves those ties by magnitude instead (measured:
+                    # 2/524K step-code flips vs the exact-f64 stencil on
+                    # the TPU lane).  Parity requires mirroring the
+                    # rounding, not improving on it.
                     d_hi, d_lo = _dd_sub(n_hi, n_lo, p_hi, p_lo)
                     m_hi, m_lo = _dd_mul_scalar(
                         d_hi, d_lo, whi_ref[k], wlo_ref[k],
                         wsph_ref[k], wspl_ref[k])
-                    upd = _dd_gt(m_hi, m_lo, best_hi, best_lo)
-                    upd = upd | (_dd_eq(m_hi, m_lo, best_hi, best_lo)
+                    c_hi, c_lo = _dd_add(m_hi, m_lo, p_hi, p_lo)
+                    upd = _dd_gt(c_hi, c_lo, best_hi, best_lo)
+                    upd = upd | (_dd_eq(c_hi, c_lo, best_hi, best_lo)
                                  & (best_orig >= jnp.int32(0))
                                  & (orig < best_orig))
                     upd = jnp.logical_and(upd, k != jnp.int32(SELF_INDEX))
-                    best_hi = jnp.where(upd, m_hi, best_hi)
-                    best_lo = jnp.where(upd, m_lo, best_lo)
+                    best_hi = jnp.where(upd, c_hi, best_hi)
+                    best_lo = jnp.where(upd, c_lo, best_lo)
                     best_k = jnp.where(upd, k, best_k)
                     best_orig = jnp.where(upd, orig, best_orig)
                 return best_hi, best_lo, best_k, best_orig
@@ -207,9 +214,8 @@ def _make_kernel(nx, ny, nz, bx, by, halo, perm=(0, 1, 2)):
                 jnp.int32(0), jnp.int32(3), over_dy,
                 (best_hi, best_lo, best_k, best_orig))
 
-        # best q starts at 0 (the centre's own candidate: q_self == 0)
-        init = (jnp.zeros((bx, by, nz), jnp.float32),
-                jnp.zeros((bx, by, nz), jnp.float32),
+        # best starts at the centre's own value (its candidate: q=0 + rho_p)
+        init = (p_hi, p_lo,
                 jnp.full((bx, by, nz), SELF_INDEX, dtype=jnp.int32),
                 jnp.full((bx, by, nz), -1, dtype=jnp.int32))
         _, _, best_k, _ = jax.lax.fori_loop(

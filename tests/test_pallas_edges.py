@@ -59,8 +59,8 @@ def test_edge_check_matches_xla():
 
 
 def test_dd_stencil_interpret_matches_exact_f64():
-    """The q-comparison dd stencil (interpret mode) equals the exact-f64
-    XLA stencil bit-for-bit on a gaussian-mixture field."""
+    """The dd stencil (interpret mode) equals the exact-f64 XLA stencil
+    bit-for-bit on a gaussian-mixture field."""
     import jax
 
     from pybader_tpu.ops import pallas_stencil as ps

@@ -11,6 +11,15 @@ Run:  PYTHONPATH=.:/root/.axon_site python -m pytest tpu_tests -q
 import jax
 import pytest
 
+try:
+    # persistent XLA cache: lane compiles (1-5 min each through the
+    # remote-device tunnel) survive across runs and partial kills
+    from pybader_tpu.precompile import enable_persistent_cache
+
+    enable_persistent_cache()
+except Exception:
+    pass
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
