@@ -286,8 +286,9 @@ def _walk_segment(state, rho_flat, parent_flat, stop_flat, t_grad,
     return pos, prev, hist, dr, done
 
 
-@partial(jax.jit, static_argnames=("shape",))
-def _walk_segment_packed(state, rows, shape: tuple, max_steps):
+@partial(jax.jit, static_argnames=("shape", "early_exit"))
+def _walk_segment_packed(state, rows, shape: tuple, max_steps,
+                         early_exit: bool = True):
     """Advance live trajectories with ONE row gather per step.
 
     Trajectory-for-trajectory identical to :func:`_walk_segment` (the
@@ -298,6 +299,14 @@ def _walk_segment_packed(state, rows, shape: tuple, max_steps):
     loop picks (static step counts multiplied compile time by the
     number of distinct (size, steps) pairs — measured minutes of tunnel
     compiles per refinement run).
+
+    ``early_exit=False`` drops the per-step ``~jnp.all(done)``
+    convergence test (a cross-lane reduction serialized against every
+    step): mid-decay drain segments almost never finish early — the
+    drain loop shrinks the bucket long before the last lane retires —
+    so the test is pure overhead there; the tail's single long segment
+    keeps it.  Finished lanes freeze their state inside the body either
+    way, so running past all-done is a no-op, never a wrong answer.
     """
     nx, ny, nz = shape
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
@@ -318,7 +327,8 @@ def _walk_segment_packed(state, rows, shape: tuple, max_steps):
 
     def cond(carry):
         pos, prev, hist, dr, done, step = carry
-        return (~jnp.all(done)) & (step < limit)
+        alive = ~jnp.all(done) if early_exit else jnp.bool_(True)
+        return alive & (step < limit)
 
     def body(carry):
         pos, prev, hist, dr, done, step = carry
@@ -357,8 +367,9 @@ def _walk_segment_packed(state, rows, shape: tuple, max_steps):
     return pos, prev, hist, dr, done
 
 
-@partial(jax.jit, static_argnames=("shape",))
-def _walk_segment_counted(state, rows, shape: tuple, max_steps):
+@partial(jax.jit, static_argnames=("shape", "early_exit"))
+def _walk_segment_counted(state, rows, shape: tuple, max_steps,
+                          early_exit: bool = True):
     """:func:`_walk_segment_packed` + fused live-lane count.
 
     The drain loop needs the alive count after every segment to drive
@@ -366,7 +377,7 @@ def _walk_segment_counted(state, rows, shape: tuple, max_steps):
     dispatch per boundary and lets the host fetch one scalar that is
     ready the moment the segment is.
     """
-    state = _walk_segment_packed(state, rows, shape, max_steps)
+    state = _walk_segment_packed(state, rows, shape, max_steps, early_exit)
     return state, jnp.sum(~state[4])
 
 
@@ -385,13 +396,19 @@ def _bucket_size(n: int, min_batch: int = 4096) -> int:
     return p2
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _compact_state(state, size: int):
+@partial(jax.jit, static_argnames=("size", "sort_pos"))
+def _compact_state(state, size: int, sort_pos: bool = False):
     """Pack still-running lanes first and slice the batch to ``size``.
 
     Returns (packed state, orig (size,) original lane indices, n_alive).
     The argsort is stable, so lane order within alive/done groups is
     preserved (walk results are order-independent anyway).
+
+    ``sort_pos=True`` additionally orders the live lanes by their
+    CURRENT grid position ((done << 30) | pos fits int32: pos < 2^28),
+    so the next segments' row gathers hit HBM in ascending address
+    order — worth it only if the gather rate rewards locality (see
+    _exp/walker_microbench.py).
 
     With f32 ``dr`` (the TPU row policy) the whole state is packed into
     one (K, 8) INT32 matrix — [pos|done<<31, prev, hist x3,
@@ -407,7 +424,11 @@ def _compact_state(state, size: int):
     per-array gathers.
     """
     pos, prev, hist, dr, done = state
-    order = jnp.argsort(done, stable=True).astype(jnp.int32)  # alive first
+    if sort_pos:
+        key = (done.astype(jnp.int32) << 30) | pos
+        order = jnp.argsort(key).astype(jnp.int32)  # alive first, by pos
+    else:
+        order = jnp.argsort(done, stable=True).astype(jnp.int32)  # alive 1st
     orig = order[:size]
     if dr.dtype == jnp.float32:
         posd = pos | jnp.where(done, jnp.int32(-(1 << 31)), jnp.int32(0))
@@ -468,6 +489,11 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
 
 
 _LANE_STEP_BUDGET = 300_000_000
+# order live lanes by grid position at compaction boundaries (gather
+# locality); default set by the _exp/walker_microbench.py measurement,
+# env-overridable for on-device A/B runs
+_SORT_COMPACT = __import__("os").environ.get(
+    "PYBADER_TPU_SORT_COMPACT", "0") == "1"
 _TAIL_BUCKET = 1 << 16  # below this, walk the whole remaining cap at once
 # cap on (live lanes x steps) per dispatched segment: a single XLA
 # program whose gathers run for minutes kills the TPU worker through the
@@ -551,7 +577,11 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
             want = segments[min(seg_i, len(segments) - 1)]
             seg = max(1, min(want, remaining, budget))
         seg_i += 1
-        state, cnt = _walk_segment_counted(state, rows, shape, seg)
+        # short mid-decay segments never finish early (the bucket shrinks
+        # first), so they drop the per-step all(done) reduction; the
+        # tail's long budget-bounded segment keeps the early exit
+        state, cnt = _walk_segment_counted(
+            state, rows, shape, seg, early_exit=size <= _TAIL_BUCKET)
         steps += seg
         n_alive = int(cnt)
         if progress is not None:
@@ -565,7 +595,8 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
                     out_pos, out_done, orig, state[0], state[4])
             else:
                 out_pos, out_done = state[0], state[4]
-            packed, sub, _ = _compact_state(state, new_size)
+            packed, sub, _ = _compact_state(state, new_size,
+                                            sort_pos=_SORT_COMPACT)
             orig = sub if orig is None else jnp.take(orig, sub)
             state = packed
             size = new_size

@@ -267,3 +267,27 @@ def test_refine_chunked_walk_matches_unchunked(monkeypatch):
         "neargrid", ("changed", 2), rho, labels0, w, tg, verbose=False)
     assert ch_a == ch_b
     np.testing.assert_array_equal(np.asarray(ref_a), np.asarray(ref_b))
+
+
+def test_walk_drain_sort_compact_invariant(monkeypatch):
+    """Position-sorted compaction (_SORT_COMPACT, a gather-locality
+    knob) must leave walk results untouched: walks are per-trajectory
+    independent, so lane order is free."""
+    rho, w, tg = _setup(3)
+    parent = ongrid_parent(jnp.asarray(rho), tuple(w), None)
+    rho_flat = jnp.asarray(rho).reshape(-1)
+    n = rho_flat.shape[0]
+    stop = jnp.zeros((n,), dtype=bool)
+    rng = np.random.default_rng(11)
+    starts = rng.choice(n, size=min(n - 1, 1500),
+                        replace=False).astype(np.int32)
+    padded = jnp.asarray(ng.pad_starts(starts))
+    kw = dict(shape=SHAPE, strict_grad=False, segments=(2, 2, 4),
+              min_batch=64)
+    pos_a, done_a = ng.walk_drain(
+        padded, rho_flat, parent.reshape(-1), stop, jnp.asarray(tg), **kw)
+    monkeypatch.setattr(ng, "_SORT_COMPACT", True)
+    pos_b, done_b = ng.walk_drain(
+        padded, rho_flat, parent.reshape(-1), stop, jnp.asarray(tg), **kw)
+    np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
+    np.testing.assert_array_equal(np.asarray(done_a), np.asarray(done_b))
