@@ -340,11 +340,18 @@ def main():
         run_workloads(size, which)
         return
 
+    import select
+
     serial = measured_baseline()
     baseline_8t = serial * REFERENCE_THREADS
     headline_done = False
     budget = {(384, "partition"): 180, (384, "default"): 420,
               (512, "partition"): 200, (512, "default"): 600}
+    # JSON lines each workload emits; once they all arrived the subprocess
+    # is killed immediately — XLA/tunnel teardown can hang for minutes
+    # after the results are out, and that wait came off the next
+    # workload's driver budget
+    expected = {"partition": 1, "default": 2}
     for size, which in ((384, "partition"), (512, "partition"),
                         (384, "default"), (512, "default")):
         proc = subprocess.Popen(
@@ -353,6 +360,7 @@ def main():
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         deadline = time.time() + budget[(size, which)]
+        got = 0
         try:
             while True:
                 if time.time() > deadline:
@@ -361,6 +369,15 @@ def main():
                           f"{budget[(size, which)]}s budget",
                           file=sys.stderr)
                     break
+                # select-bounded read: a silent subprocess must not block
+                # readline past the deadline
+                ready, _, _ = select.select(
+                    [proc.stdout], [], [],
+                    max(0.2, min(5.0, deadline - time.time())))
+                if not ready:
+                    if proc.poll() is not None:
+                        break
+                    continue
                 line = proc.stdout.readline()
                 if not line:
                     if proc.poll() is not None:
@@ -394,13 +411,18 @@ def main():
                         "vs_baseline": round(vox_per_sec / baseline_8t, 2),
                     }), flush=True)
                     headline_done = True
+                got += 1
+                if got >= expected[which]:
+                    proc.kill()  # results are in; skip teardown hangs
+                    break
         finally:
             try:
                 proc.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 proc.kill()
             err = proc.stderr.read()
-            if err and proc.returncode not in (0, None):
+            if (err and got < expected[which]
+                    and proc.returncode not in (0, None)):
                 print(f"  {which} {size}^3 stderr tail:\n{err[-1500:]}",
                       file=sys.stderr)
     if not headline_done:
