@@ -13,13 +13,16 @@ refine_mode=('changed', 2), maxima->atom assignment, surface distance) —
 the reference's acceptance workload (BASELINE.md:28-31) — with refinement
 iteration statistics (edges walked / changed / step-cap fires).
 
-Budget discipline (the round-2 artifact timed out): each size runs ONE
-subprocess covering both workloads (sharing the density and stencil
-compiles), the synthetic density is generated ON DEVICE via separable
-circulant matmuls (a 384^3 host FFT plus grid upload through the tunnel
-costs minutes; the MXU matmuls are milliseconds), the headline JSON prints the moment the first workload
-reports, and every subprocess runs under its own timeout so a hang cannot
-eat the driver budget.
+Budget discipline (the round-2 artifact timed out; round 3 lost the
+headline to a cold compile cache): each (size, workload) runs in its own
+subprocess under its own budget, the synthetic density is generated ON
+DEVICE via separable circulant matmuls (a 384^3 host FFT plus grid upload
+through the tunnel costs minutes; the MXU matmuls are milliseconds), and
+every workload emits a PROVISIONAL result line the moment its warm pass
+finishes, so a slow tunnel compile degrades the headline number instead
+of zeroing it.  stdout still carries exactly one JSON line: the driver
+holds the provisional 384^3 partition number and prints the timed-pass
+number if it lands in budget, the provisional one otherwise.
 
 vs_baseline: ratio to the reference CPU implementation's ongrid phase,
 anchored by a MEASURED number: native/serial_baseline.cpp (clean-room
@@ -270,7 +273,17 @@ def run_workloads(size: int, which: str):
         return n_max, float(jnp.sum(charge)), counts
 
     if which in ("partition", "both"):
+        # provisional line after the warm pass: round 3 lost the headline
+        # to value 0.0 because one slow tunnel compile ate the whole
+        # budget before the (warm + 2 timed passes) sequence printed
+        # anything — a degraded first-pass number beats no number
+        t0 = time.perf_counter()
         n_max, total, _ = partition_e2e()  # warm / compile
+        warm_t = time.perf_counter() - t0
+        print(json.dumps({"size": size, "best": warm_t,
+                          "n_max": n_max, "total": total,
+                          "workload": "partition",
+                          "provisional": True}), flush=True)
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -341,32 +354,101 @@ def main():
         return
 
     import select
+    import tempfile
 
     serial = measured_baseline()
     baseline_8t = serial * REFERENCE_THREADS
+    # headline discipline: stdout carries exactly ONE JSON line.  The
+    # provisional (warm-pass) partition number is held until the final
+    # (timed-pass) number lands or the 384^3 partition workload ends,
+    # whichever first — round 3 scored 0.0 because the old
+    # print-only-after-two-timed-passes flow never emitted anything
+    # inside its budget on a cold compile cache.
+    headline_value = None  # best 384^3 partition vox/s seen so far
     headline_done = False
-    budget = {(384, "partition"): 180, (384, "default"): 420,
-              (512, "partition"): 200, (512, "default"): 600}
-    # JSON lines each workload emits; once they all arrived the subprocess
-    # is killed immediately — XLA/tunnel teardown can hang for minutes
-    # after the results are out, and that wait came off the next
-    # workload's driver budget
-    expected = {"partition": 1, "default": 2}
-    for size, which in ((384, "partition"), (512, "partition"),
-                        (384, "default"), (512, "default")):
+
+    def emit_headline():
+        nonlocal headline_done
+        if headline_done:
+            return
+        headline_done = True
+        v = headline_value or 0.0
+        print(json.dumps({
+            "metric": "ongrid_partition_voxels_per_sec_384cube",
+            "value": round(v, 1), "unit": "voxel/s",
+            "vs_baseline": round(v / baseline_8t, 2),
+        }), flush=True)
+
+    # budgets: generous for the headline workload (a cold compile cache
+    # pays 1-5 min of tunnel compiles per new shape; the provisional line
+    # means the budget now bounds degradation, not success/failure)
+    budget = {(384, "partition"): 480, (384, "default"): 420,
+              (512, "partition"): 240, (512, "default"): 600}
+    # final JSON lines each workload emits (provisional lines don't
+    # count); once they all arrived the subprocess is killed immediately
+    # — XLA/tunnel teardown can hang for minutes after the results are
+    # out, and that wait came off the next workload's driver budget
+    expected = {"partition": 1, "default": 1}
+
+    def handle_line(line, size, which, counts):
+        if not line.startswith("{"):
+            return
+        try:
+            r = json.loads(line)
+        except ValueError:
+            return  # partial line from a killed child
+        n = size ** 3
+        extra = ""
+        if r["workload"] == "default" and r.get("refine_stats"):
+            it = ["/".join(map(str, t)) for t in r["refine_stats"]]
+            extra = (f", refine edges/changed/capped per iter: "
+                     f"{'; '.join(it)}")
+        if "cold" in r and r["cold"] != r["best"]:
+            extra += f", first pass {r['cold']:.3f}s"
+        tag = " (first pass)" if r.get("provisional") else ""
+        print(
+            f"  {r['workload']}{tag} {size}^3: {r['best']:.3f}s "
+            f"e2e, {n / r['best'] / 1e6:.1f} Mvox/s, "
+            f"{r['n_max']} basins{extra}",
+            file=sys.stderr,
+        )
+        if r["workload"] == "partition" and size == headline_size:
+            nonlocal headline_value
+            headline_value = max(headline_value or 0.0, n / r["best"])
+            if not r.get("provisional"):
+                emit_headline()
+        if not r.get("provisional"):
+            counts["got"] += 1
+
+    schedule = [(384, "partition"), (512, "partition"),
+                (384, "default"), (512, "default")]
+    if os.environ.get("PYBADER_TPU_BENCH_SIZES"):
+        # test/dev override: "48:partition,48:default" (budgets default
+        # to 300 s for sizes not in the table)
+        schedule = [
+            (int(s.split(":")[0]), s.split(":")[1])
+            for s in os.environ["PYBADER_TPU_BENCH_SIZES"].split(",")
+        ]
+    headline_size = next(s for s, w in schedule if w == "partition")
+    for size, which in schedule:
+        # child stderr goes to a temp file, not a pipe: a chatty child
+        # that outgrows the ~64KB pipe buffer would block mid-run and
+        # silently burn its whole budget (ADVICE r3)
+        err_f = tempfile.TemporaryFile(mode="w+")
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), f"--size={size}",
              which],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            stdout=subprocess.PIPE, stderr=err_f, text=True,
         )
-        deadline = time.time() + budget[(size, which)]
-        got = 0
+        wl_budget = budget.get((size, which), 300)
+        deadline = time.time() + wl_budget
+        counts = {"got": 0}
         try:
             while True:
                 if time.time() > deadline:
                     proc.kill()
                     print(f"  {which} {size}^3 exceeded "
-                          f"{budget[(size, which)]}s budget",
+                          f"{wl_budget}s budget",
                           file=sys.stderr)
                     break
                 # select-bounded read: a silent subprocess must not block
@@ -376,6 +458,12 @@ def main():
                     max(0.2, min(5.0, deadline - time.time())))
                 if not ready:
                     if proc.poll() is not None:
+                        # drain lines readline() may have buffered past
+                        # the raw fd (ADVICE r3: select on the fd can
+                        # show empty while the TextIOWrapper holds the
+                        # result line)
+                        for line in proc.stdout:
+                            handle_line(line, size, which, counts)
                         break
                     continue
                 line = proc.stdout.readline()
@@ -383,36 +471,8 @@ def main():
                     if proc.poll() is not None:
                         break
                     continue
-                if not line.startswith("{"):
-                    continue
-                r = json.loads(line)
-                n = size ** 3
-                extra = ""
-                if r["workload"] == "default" and r.get("refine_stats"):
-                    it = ["/".join(map(str, t)) for t in r["refine_stats"]]
-                    extra = (f", refine edges/changed/capped per iter: "
-                             f"{'; '.join(it)}")
-                if "cold" in r and r["cold"] != r["best"]:
-                    extra += f", first pass {r['cold']:.3f}s"
-                tag = " (first pass)" if r.get("provisional") else ""
-                print(
-                    f"  {r['workload']}{tag} {size}^3: {r['best']:.3f}s "
-                    f"e2e, {n / r['best'] / 1e6:.1f} Mvox/s, "
-                    f"{r['n_max']} basins{extra}",
-                    file=sys.stderr,
-                )
-                if r["workload"] == "partition" and size == 384 \
-                        and not headline_done:
-                    vox_per_sec = n / r["best"]
-                    print(json.dumps({
-                        "metric": "ongrid_partition_voxels_per_sec_384cube",
-                        "value": round(vox_per_sec, 1),
-                        "unit": "voxel/s",
-                        "vs_baseline": round(vox_per_sec / baseline_8t, 2),
-                    }), flush=True)
-                    headline_done = True
-                got += 1
-                if got >= expected[which]:
+                handle_line(line, size, which, counts)
+                if counts["got"] >= expected[which]:
                     proc.kill()  # results are in; skip teardown hangs
                     break
         finally:
@@ -420,16 +480,19 @@ def main():
                 proc.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 proc.kill()
-            err = proc.stderr.read()
-            if (err and got < expected[which]
+            if size == 384 and which == "partition":
+                emit_headline()  # provisional (or 0.0) if no final landed
+            try:
+                err_f.seek(0)
+                err = err_f.read()
+            except Exception:
+                err = ""
+            err_f.close()
+            if (err and counts["got"] < expected[which]
                     and proc.returncode not in (0, None)):
                 print(f"  {which} {size}^3 stderr tail:\n{err[-1500:]}",
                       file=sys.stderr)
-    if not headline_done:
-        print(json.dumps({
-            "metric": "ongrid_partition_voxels_per_sec_384cube",
-            "value": 0.0, "unit": "voxel/s", "vs_baseline": 0.0,
-        }), flush=True)
+    emit_headline()
 
 
 if __name__ == "__main__":

@@ -665,6 +665,10 @@ class Bader:
         num = vol_num if vol_num != -1 else 'vacuum'
         self._file_info['comment'] = f"Bader {self.export_mode[0]}: {num}\n"
         self._file_info['fortran_format'] = self.fortran_format
+        # INTENTIONAL QUIRK: exported volumes use the prefix captured in
+        # file_info at read time, NOT the live self.prefix config value —
+        # faithful to the reference (interface.py:620-621 there), which
+        # also ignores a prefix set after from_file for these exports.
         self.info['write_function'](
             f"Bader-{self.export_mode[0]}-{num}", self.atoms, self.lattice,
             density, self.info, prefix=self.info['prefix'],

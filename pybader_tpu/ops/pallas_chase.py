@@ -270,14 +270,14 @@ def _chase_sweep_impl(a, bk, flags, bx, by, halo, max_passes=0,
         done_map = lambda i, j, *_: (i, j)  # noqa: E731
         out_map = lambda i, j, *_: (i, j, 0)  # noqa: E731
     if alias:
-        payload_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        payload_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         payload_spec = pl.BlockSpec((bx, by, nz), out_map,
                                     memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(
             payload_spec,
             pl.BlockSpec((8, 128), done_map, memory_space=pltpu.VMEM),

@@ -132,7 +132,7 @@ def _scan_call(lm, cm, im, reverse: bool, interpret: bool = False):
             pl.BlockSpec((k, h, w), gmap),  # own planes (old values)
             pl.BlockSpec((k, h, w), gmap),
             pl.BlockSpec((k, h, w), gmap),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # wrap/edge DMAs
+            pl.BlockSpec(memory_space=pl.ANY),  # wrap/edge DMAs
         ],
         out_specs=pl.BlockSpec((k, h, w), gmap),
         out_shape=jax.ShapeDtypeStruct((npl, h, w), jnp.int32),

@@ -247,8 +247,8 @@ def _stencil_call(hi, lo, weights, bx, by, halo, perm=(0, 1, 2),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((bx, by, nz), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
