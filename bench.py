@@ -353,9 +353,6 @@ def main():
         run_workloads(size, which)
         return
 
-    import select
-    import tempfile
-
     serial = measured_baseline()
     baseline_8t = serial * REFERENCE_THREADS
     # headline discipline: stdout carries exactly ONE JSON line.  The
@@ -397,6 +394,7 @@ def main():
             r = json.loads(line)
         except ValueError:
             return  # partial line from a killed child
+        counts["any"] += 1
         n = size ** 3
         extra = ""
         if r["workload"] == "default" and r.get("refine_stats"):
@@ -430,69 +428,97 @@ def main():
             for s in os.environ["PYBADER_TPU_BENCH_SIZES"].split(",")
         ]
     headline_size = next(s for s, w in schedule if w == "partition")
+    # the headline workload gets a second attempt if its first one ends
+    # with NO result line at all (not even the provisional warm-pass
+    # line): a cold XLA/Mosaic cache pays minutes of tunnel compiles,
+    # and attempt 1 leaves the persistent cache warm for attempt 2 —
+    # the in-run analog of the reference's install-time JIT warm
+    # (reference entry_points.py:358-379).
+    run_list = []
     for size, which in schedule:
-        # child stderr goes to a temp file, not a pipe: a chatty child
-        # that outgrows the ~64KB pipe buffer would block mid-run and
-        # silently burn its whole budget (ADVICE r3)
-        err_f = tempfile.TemporaryFile(mode="w+")
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), f"--size={size}",
-             which],
-            stdout=subprocess.PIPE, stderr=err_f, text=True,
-        )
-        wl_budget = budget.get((size, which), 300)
-        deadline = time.time() + wl_budget
-        counts = {"got": 0}
-        try:
-            while True:
-                if time.time() > deadline:
-                    proc.kill()
-                    print(f"  {which} {size}^3 exceeded "
-                          f"{wl_budget}s budget",
-                          file=sys.stderr)
-                    break
-                # select-bounded read: a silent subprocess must not block
-                # readline past the deadline
-                ready, _, _ = select.select(
-                    [proc.stdout], [], [],
-                    max(0.2, min(5.0, deadline - time.time())))
-                if not ready:
-                    if proc.poll() is not None:
-                        # drain lines readline() may have buffered past
-                        # the raw fd (ADVICE r3: select on the fd can
-                        # show empty while the TextIOWrapper holds the
-                        # result line)
-                        for line in proc.stdout:
-                            handle_line(line, size, which, counts)
-                        break
-                    continue
-                line = proc.stdout.readline()
-                if not line:
-                    if proc.poll() is not None:
-                        break
-                    continue
-                handle_line(line, size, which, counts)
-                if counts["got"] >= expected[which]:
-                    proc.kill()  # results are in; skip teardown hangs
-                    break
-        finally:
-            try:
-                proc.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                proc.kill()
-            if size == 384 and which == "partition":
-                emit_headline()  # provisional (or 0.0) if no final landed
-            try:
-                err_f.seek(0)
-                err = err_f.read()
-            except Exception:
-                err = ""
-            err_f.close()
-            if (err and counts["got"] < expected[which]
-                    and proc.returncode not in (0, None)):
-                print(f"  {which} {size}^3 stderr tail:\n{err[-1500:]}",
-                      file=sys.stderr)
+        n_att = 2 if (size == headline_size and which == "partition") else 1
+        run_list.append((size, which, n_att))
+    for size, which, attempts_left in run_list:
+        while attempts_left > 0:
+            attempts_left -= 1
+            got_any = _run_one(size, which, budget, expected, handle_line)
+            is_headline = size == headline_size and which == "partition"
+            if got_any or not is_headline or attempts_left == 0:
+                break
+            print(f"  {which} {size}^3: no result at all — retrying "
+                  f"(compile cache is warmer now)", file=sys.stderr)
+        if size == headline_size and which == "partition":
+            emit_headline()  # provisional (or 0.0) if no final landed
     emit_headline()
+
+
+def _run_one(size, which, budget, expected, handle_line):
+    """Launch one (size, workload) subprocess under its budget.
+
+    returns True if any result line (provisional included) arrived."""
+    import select
+    import tempfile
+
+    # child stderr goes to a temp file, not a pipe: a chatty child
+    # that outgrows the ~64KB pipe buffer would block mid-run and
+    # silently burn its whole budget (ADVICE r3)
+    err_f = tempfile.TemporaryFile(mode="w+")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), f"--size={size}",
+         which],
+        stdout=subprocess.PIPE, stderr=err_f, text=True,
+    )
+    wl_budget = budget.get((size, which), 300)
+    deadline = time.time() + wl_budget
+    counts = {"got": 0, "any": 0}
+    try:
+        while True:
+            if time.time() > deadline:
+                proc.kill()
+                print(f"  {which} {size}^3 exceeded "
+                      f"{wl_budget}s budget",
+                      file=sys.stderr)
+                break
+            # select-bounded read: a silent subprocess must not block
+            # readline past the deadline
+            ready, _, _ = select.select(
+                [proc.stdout], [], [],
+                max(0.2, min(5.0, deadline - time.time())))
+            if not ready:
+                if proc.poll() is not None:
+                    # drain lines readline() may have buffered past
+                    # the raw fd (ADVICE r3: select on the fd can
+                    # show empty while the TextIOWrapper holds the
+                    # result line)
+                    for line in proc.stdout:
+                        handle_line(line, size, which, counts)
+                    break
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                if proc.poll() is not None:
+                    break
+                continue
+            handle_line(line, size, which, counts)
+            if counts["got"] >= expected[which]:
+                proc.kill()  # results are in; skip teardown hangs
+                break
+    finally:
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        try:
+            err_f.seek(0)
+            err = err_f.read()
+        except Exception:
+            err = ""
+        err_f.close()
+        if (err and counts["got"] < expected[which]
+                and proc.returncode not in (0, None)):
+            print(f"  {which} {size}^3 stderr tail:\n{err[-1500:]}",
+                  file=sys.stderr)
+    return counts["any"] > 0
 
 
 if __name__ == "__main__":

@@ -105,6 +105,72 @@ def ongrid_step_codes(reference: jax.Array, weights: tuple) -> jax.Array:
 
 
 @jax.jit
+def neargrid_init_codes(reference: jax.Array, bk: jax.Array,
+                        t_grad: jax.Array) -> jax.Array:
+    """First-neargrid-step codes with ongrid fallback (hybrid init).
+
+    For every voxel, the first step a neargrid trajectory (started at
+    rest, dr = 0) would take — reference methods.py:301-363: non-strict
+    per-axis flatness test on the central difference, ``T_grad``
+    transform, inf-norm normalisation, round-half-away-from-zero plus the
+    immediate ``dr`` application (so the composed step is one of the 27
+    stencil offsets).  The step is kept only where it STRICTLY ascends
+    the density; everywhere else (zero gradient, self step, or a
+    non-ascending step) the ongrid code ``bk`` substitutes — the same
+    fallback rule the walker applies on revisits (methods.py:340-343,
+    411-447).  Ascent-only steps keep the pointer graph acyclic with
+    roots exactly the ongrid maxima (``bk == 13``), so the scan-flood
+    labeller and the discovery-order renumber run on these codes
+    unchanged.
+
+    This is an INITIALISATION for bounded edge refinement, not the full
+    trajectory semantics: it captures the first-step boundary shift of
+    the neargrid method at stencil cost, and the refinement walker (full
+    dr accumulation) fixes the remaining band.  Accuracy at the shipping
+    config is measured against native/serial_neargrid.cpp in BASELINE.md
+    (_exp/hybrid_accuracy.py).
+    """
+    rho = reference
+    # per-axis central difference, non-strict flatness (methods.py:324)
+    grads = []
+    for j in range(3):
+        up = jnp.roll(rho, -1, j)
+        dn = jnp.roll(rho, 1, j)
+        axis_flat = (up <= rho) & (dn <= rho)
+        grads.append(jnp.where(axis_flat, 0.0, (up - dn) * 0.5))
+    gd = [None, None, None]
+    for i in range(3):
+        gd[i] = sum(t_grad[i, j] * grads[j] for j in range(3))
+    mg = jnp.maximum(jnp.maximum(jnp.abs(gd[0]), jnp.abs(gd[1])),
+                     jnp.abs(gd[2]))
+    use_ongrid = mg < 1e-14
+    denom = jnp.where(mg > 0, mg, 1.0)
+
+    def _round_away(x):
+        return jnp.trunc(x + jnp.where(x > 0, 0.5, -0.5)).astype(jnp.int8)
+
+    code_ng = jnp.zeros(rho.shape, dtype=jnp.uint8)
+    for i in range(3):
+        g = gd[i] / denom
+        ig = _round_away(g)
+        step = ig + _round_away(g - ig.astype(g.dtype))  # in {-1, 0, 1}
+        code_ng = code_ng * jnp.uint8(3) + (step + 1).astype(jnp.uint8)
+
+    # keep the step only where it strictly ascends: rho[target] > rho[self]
+    offs = jnp.asarray(np.asarray(OFFSETS, dtype=np.int32))
+
+    def body(k, rho_t):
+        sh = offs[k]
+        rolled = jnp.roll(rho, shift=(-sh[0], -sh[1], -sh[2]),
+                          axis=(0, 1, 2))
+        return jnp.where(code_ng == k.astype(jnp.uint8), rolled, rho_t)
+
+    rho_t = jax.lax.fori_loop(jnp.int32(0), jnp.int32(27), body, rho)
+    keep = (rho_t > rho) & ~use_ongrid
+    return jnp.where(keep, code_ng, bk)
+
+
+@jax.jit
 def parent_from_step_codes(best_k: jax.Array,
                            vacuum: jax.Array | None = None) -> jax.Array:
     """Decode step codes to flat int32 parent indices."""

@@ -19,7 +19,7 @@ from pybader_tpu.ops.pointer import (
     label_from_roots, label_volumes, resolve_roots_auto,
 )
 from pybader_tpu.ops.stencil import (
-    ongrid_step_codes, parent_from_step_codes,
+    neargrid_init_codes, ongrid_step_codes, parent_from_step_codes,
 )
 
 
@@ -127,6 +127,46 @@ def _partition_ongrid_tpu(reference, vac, weights, exact_stencil=False,
     return renumber_discovery(labels_mo, is_max, vac, n_max, iota)
 
 
+def _partition_nginit(reference, vac, weights, t_grad,
+                      exact_stencil=False, progress=None):
+    """Neargrid-first-step flood partition (the hybrid initialisation).
+
+    Same flow as the ongrid partition, on different step codes: each
+    voxel's pointer is the first step a neargrid trajectory would take
+    where that step strictly ascends, the ongrid step elsewhere
+    (ops/stencil.neargrid_init_codes).  Roots, maxima and discovery-order
+    numbering are identical to the ongrid partition; only basin
+    membership near watersheds shifts — towards the reference neargrid
+    method's boundaries, so the bounded refinement that follows has less
+    to fix (the measured win at a dense 384^3: the old ongrid init
+    needed ('changed', 3) internally, this needs one iteration).
+    """
+    from pybader_tpu.ops import scanflood
+
+    shape = reference.shape
+    bk_og = _step_codes_auto(reference, weights, exact_stencil)
+    bk = neargrid_init_codes(reference, bk_og, jnp.asarray(t_grad))
+    if vac is not None:
+        bk = jnp.where(vac, jnp.uint8(13), bk)
+    if not _use_tpu_fast_path(shape):
+        parent = parent_from_step_codes(bk)
+        return label_volumes(parent, vac, bk)
+    tick = None
+    if progress is not None:
+        tick = lambda r, left: progress(  # noqa: E731
+            f"flood round {r + 1}: {left} voxels unresolved")
+    labels_mo, n_max = scanflood.labels_scanflood(bk, vac, progress=tick)
+    is_max = bk == jnp.uint8(13)
+    if vac is not None:
+        is_max = is_max & ~vac
+    n_max = max(int(n_max), 1)
+    if n_max > 4096:
+        parent = parent_from_step_codes(bk)
+        return label_volumes(parent, vac, bk)
+    iota = jnp.arange(int(np.prod(shape)), dtype=jnp.int32).reshape(shape)
+    return renumber_discovery(labels_mo, is_max, vac, n_max, iota)
+
+
 def renumber_discovery(labels_mo, is_max, vac, n_max: int, iota):
     """Renumber arbitrary consistent basin ids to discovery order.
 
@@ -194,24 +234,31 @@ def partition_ongrid(reference, vacuum, weights, exact_stencil=False,
     return label_volumes(parent, vac, bk)
 
 
-# Above this voxel count, method='neargrid' initialises with ongrid and
-# applies bounded neargrid edge refinement instead of walking every
-# voxel's trajectory (per-voxel trajectory walking is gather-bound on
-# TPU: ~3 gathers/step at ~25M lookups/s makes 56M x ~60-step walks a
-# multi-minute program).
+# Above this voxel count, method='neargrid' initialises with a
+# neargrid-first-step flood and applies bounded neargrid edge refinement
+# instead of walking every voxel's trajectory (per-voxel trajectory
+# walking is gather-bound on TPU: ~3 gathers/step at ~25M lookups/s makes
+# 56M x ~60-step walks a multi-minute program).
 _NEARGRID_HYBRID_THRESHOLD = 1 << 24
-# The internal refinement budget of that hybrid.  This mirrors the
-# reference's own sanctioned approximation: its 'speed' profile ships
-# ongrid + 3 neargrid refinement iterations in place of the neargrid
-# method (reference entry_points.py:340-345).  Running to convergence
-# instead is NOT the default because flat interstitial regions can keep
-# re-contesting the watershed for dozens of iterations (measured at a
-# dense 384^3: changed counts decay ~0.74x/iteration from 3.2M — an
-# hour-class convergence the reference's default config never pays
-# either); callers who want the converged ground-truth state pass
+# Internal refinement budget of the OLD ongrid-init hybrid (still used on
+# multi-device meshes, where the init is the sharded ongrid partition).
+# This mirrors the reference's own sanctioned approximation: its 'speed'
+# profile ships ongrid + 3 neargrid refinement iterations in place of the
+# neargrid method (reference entry_points.py:340-345).  Running to
+# convergence instead is NOT the default because flat interstitial
+# regions can keep re-contesting the watershed for dozens of iterations
+# (measured at a dense 384^3: changed counts decay ~0.74x/iteration from
+# 3.2M — an hour-class convergence the reference's default config never
+# pays either); callers who want the converged ground-truth state pass
 # refine_mode=('changed', -1) (the reference's own accuracy-harness
 # definition of truth, examples/compare_methods.py:16).
 _NEARGRID_HYBRID_REFINE = ("changed", 3)
+# Internal budget on top of the neargrid-first-step init (the
+# single-device default): the init already lands the first-step boundary
+# shift, so one full-edge walk before the user's refine_mode chains on
+# suffices — measured accuracy vs the serial reference at the shipping
+# config is recorded in BASELINE.md (_exp/hybrid_accuracy.py).
+_NGINIT_HYBRID_REFINE = ("changed", 1)
 
 # Largest changed-set 27-neighbourhood candidate list the refinement loop
 # will materialise for the sorted-filter fast path; bigger changed sets
@@ -256,10 +303,27 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     if full_trajectories is None:
         full_trajectories = n <= _NEARGRID_HYBRID_THRESHOLD and not multi
     if not full_trajectories:
-        labels, maxima = partition_ongrid(reference, vac, weights, mesh=mesh,
-                                          progress=progress)
+        import os
+
+        # default init is the ongrid partition: at equal refinement
+        # budgets it lands measurably closer to the serial reference
+        # than the neargrid-first-step flood (128^3 sweep,
+        # _exp/hybrid_sweep.py: 0.030% vs 0.069% voxel mismatch at
+        # internal=('changed',3)) — the first-step init's chain errors
+        # sit deeper inside basins where edge re-walks reach them more
+        # slowly.  The nginit path stays available for measurement.
+        nginit = not multi and os.environ.get(
+            "PYBADER_TPU_HYBRID_INIT", "ongrid") == "nginit"
+        if nginit:
+            labels, maxima = _partition_nginit(
+                reference, vac, weights, t_grad, progress=progress)
+            internal = _NGINIT_HYBRID_REFINE
+        else:
+            labels, maxima = partition_ongrid(
+                reference, vac, weights, mesh=mesh, progress=progress)
+            internal = _NEARGRID_HYBRID_REFINE
         labels, _ = refine_labels(
-            "neargrid", _NEARGRID_HYBRID_REFINE, reference, labels,
+            "neargrid", internal, reference, labels,
             weights, t_grad, verbose=False, mesh=mesh, progress=progress,
             carry_out=carry_out,
         )
@@ -398,16 +462,40 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         starts_small = None  # small candidate list, 'changed' fast path
     total_changed = 0
     converged = False
+    detail = None
     if stats is not None:
+        import time as _time
+
         stats["iterations"] = []
+        _t_iter = _time.perf_counter()
+        if stats.get("detail"):
+            # opt-in per-stage split (adds one device sync per stage —
+            # instrumentation runs only, see _exp/default_budget.py)
+            detail = stats.setdefault("stages", [])
+
+            def _mark(d, key, t0, x=None):
+                if x is not None:
+                    jax.block_until_ready(x)
+                    float(jnp.sum(jnp.asarray(x).astype(jnp.float32)
+                                  .reshape(-1)[:1]))
+                now = _time.perf_counter()
+                d[key] = round(now - t0, 3)
+                return now
     it = 0
     while it < max_iters:
         it += 1
+        d_st = {} if detail is not None else None
+        if d_st is not None:
+            detail.append(d_st)
+            _t_st = _time.perf_counter()
         if starts_small is None:
             edge_mask = (known == -2).reshape(-1)
             n_edges = int(jnp.sum(edge_mask))
         else:
             n_edges = int(starts_small[1])
+        if d_st is not None:
+            d_st["edges_count"] = n_edges
+            _t_st = _mark(d_st, "count", _t_st)
         if n_edges == 0:
             if verbose and it == 1:
                 print("  No edges found.")
@@ -426,6 +514,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             # the host every iteration
             starts_dev_padded = compact_indices(edge_mask, size)
         starts_small = None
+        if d_st is not None:
+            _t_st = _mark(d_st, "compact", _t_st, starts_dev_padded)
         # cap trajectories: period>2 cycles escape the walker's revisit
         # detection and would otherwise spin to the global cap; stragglers
         # resolve through their ongrid root below
@@ -439,6 +529,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         else:
             walk_fields = neargrid_ops.update_stop(
                 walk_fields, (known == 2).reshape(-1))
+            if d_st is not None:
+                _t_st = _mark(d_st, "update_stop", _t_st, walk_fields)
             wkw = {}
             if progress is not None:
                 wkw["progress"] = lambda s, alive: progress(
@@ -463,6 +555,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     t_grad, shape, strict_grad=True, max_steps=192,
                     fields=walk_fields, **wkw,
                 )
+        if d_st is not None:
+            _t_st = _mark(d_st, "walk", _t_st, pos)
         # padding lanes are born done, so the full-width sum equals the
         # valid-lane count (no dynamic slice: a [:n_edges] view compiled
         # a fresh program per edge count)
@@ -495,9 +589,17 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         labels = labels_flat.reshape(shape)
         known = known_flat.reshape(shape)
         changed = int(changed_dev)
+        if d_st is not None:
+            _t_st = _mark(d_st, "apply", _t_st)
         total_changed += changed
         if stats is not None:
-            stats["iterations"].append((n_edges, changed, n_capped))
+            # (edges walked, changed, step-cap fires, iteration seconds) —
+            # the int(changed_dev) fetch above synced the device, so the
+            # wall split is accurate without extra syncs
+            _now = _time.perf_counter()
+            stats["iterations"].append(
+                (n_edges, changed, n_capped, round(_now - _t_iter, 3)))
+            _t_iter = _now
         if verbose:
             print(f"  {changed} points changed.")
         if changed == 0:
@@ -533,6 +635,8 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 cand = edges_ops.neighbors27_flat(ch_starts, shape)
                 starts_small = edges_ops.filter_edges_sorted(
                     cand, known.reshape(-1))
+        if d_st is not None:
+            _t_st = _mark(d_st, "edge_scan", _t_st, known)
         if it >= max_iters:
             break
     if carry_out is not None:
