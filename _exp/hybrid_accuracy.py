@@ -92,6 +92,11 @@ def main():
     ap.add_argument("--backend", choices=["cpu", "device"], default="cpu",
                     help="cpu = semantics-level deviation; device = the "
                          "shipping TPU path (adds f32-row knife edges)")
+    ap.add_argument("--truth", action="store_true",
+                    help="also converge the serial refinement (iters=-1) "
+                         "and report both sides' distance to that fixed "
+                         "point — is the hybrid default closer to the "
+                         "ground truth than the reference's own default?")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -181,6 +186,26 @@ def main():
           f"hybrid {np.sum(q_hyb):.6e})")
     print(f"per-atom |dq|: max {dq.max():.3e}, sum {dq.sum():.3e} "
           f"({100.0 * dq.max() / total:.2e}% / {100.0 * dq.sum() / total:.2e}% of total)")
+
+    if args.truth:
+        lab_tru = np.ascontiguousarray(lab_ref.copy())  # pre-mapping ids
+        t0 = time.perf_counter()
+        lib.sn_refine(
+            rho.ctypes.data_as(dp), *shape, w.ctypes.data_as(dp),
+            tg.ctypes.data_as(dp),
+            lab_tru.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_long(-1))
+        print(f"serial converged (truth): +{time.perf_counter() - t0:.0f}s")
+        lab_tru_m = perm[lab_tru]
+        q_tru = atom_charges(lab_tru_m, maxima, rho, shape, lattice,
+                             atoms_cart, vox_vol)
+        for name, lab, q in (("serial default", lab_ref_mapped, q_ref),
+                             ("hybrid default", lab_hyb, q_hyb)):
+            mm = int(np.sum(lab != lab_tru_m))
+            dd = np.abs(q - q_tru)
+            print(f"{name} vs TRUTH: {100.0 * mm / n:.4f}% voxels, "
+                  f"max|dq| {dd.max():.3e} "
+                  f"({100.0 * dd.max() / total:.2e}% of total)")
 
 
 if __name__ == "__main__":

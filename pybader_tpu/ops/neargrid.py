@@ -508,7 +508,7 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
                t_grad: jax.Array, shape: tuple,
                strict_grad: bool = False, max_steps: int = 0,
                segments=(8, 8, 8, 8, 16, 16, 32, 32, 64),
-               min_batch: int = 4096,
+               min_batch: int = _TAIL_BUCKET,
                progress=None, fields=None, rows_dtype=None):
     """:func:`walk` with packed operands and tail-latency drain.
 
