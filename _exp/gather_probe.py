@@ -37,6 +37,15 @@ def main():
     n = 384 ** 3
     rng = np.random.default_rng(0)
 
+    # everything is generated ON DEVICE: a 0.9-5 GB host upload through
+    # the tunnel costs minutes (the first probe version hung its budget
+    # uploading operands)
+    def dev_perm(k, seed=1):
+        # pseudo-random indices in [0, n): affine map with odd multiplier
+        i = jnp.arange(k, dtype=jnp.uint32)
+        return (((i * jnp.uint32(2654435761) + jnp.uint32(seed * 97))
+                 % jnp.uint32(n)).astype(jnp.int32))
+
     def timed(fn, *a):
         out = fn(*a)
         jax.block_until_ready(out)
@@ -52,7 +61,7 @@ def main():
 
     # chained gathers: next index derived from fetched data so steps are
     # data-dependent like the walk
-    hop = jnp.asarray(rng.integers(0, n, size=n), jnp.int32)
+    hop = dev_perm(n, seed=7)
 
     @partial(jax.jit, static_argnames=("steps", "width"))
     def chain_rows(rows, idx, steps: int, width: int):
@@ -68,13 +77,14 @@ def main():
 
     steps = 8
     for k_lanes in (1 << 20, 1 << 23):
-        idx0 = jnp.asarray(rng.integers(0, n, size=k_lanes), jnp.int32)
+        idx0 = dev_perm(k_lanes, seed=3)
         for width, dt in ((4, jnp.float32), (2, jnp.float32),
                           (4, jnp.int32), (8, jnp.float32)):
-            rows = jnp.asarray(
-                rng.random((n, width)), dt) if dt == jnp.float32 \
-                else jnp.asarray(rng.integers(0, 1 << 30, (n, width)),
-                                 jnp.int32)
+            base = jnp.arange(n, dtype=jnp.int32)[:, None] * 7 \
+                + jnp.arange(width, dtype=jnp.int32)[None, :]
+            rows = (base.astype(jnp.float32) * 1e-6
+                    if dt == jnp.float32 else base)
+            del base
             dtb = timed(chain_rows, rows, idx0, steps, width)
             rate = k_lanes * steps / dtb
             print(f"XLA chained gather (N,{width}) "
@@ -84,11 +94,12 @@ def main():
             del rows
 
     # sortedness effect: hop table that keeps indices near-sorted
-    rows = jnp.asarray(rng.random((n, 4)), jnp.float32)
-    idx_sorted = jnp.sort(jnp.asarray(
-        rng.integers(0, n, size=1 << 23), jnp.int32))
-    hop_local = jnp.asarray(
-        (np.arange(n) + rng.integers(-400, 400, size=n)) % n, jnp.int32)
+    rows = (jnp.arange(n, dtype=jnp.int32)[:, None]
+            + jnp.arange(4, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32) * 1e-6
+    idx_sorted = jnp.sort(dev_perm(1 << 23, seed=5))
+    i = jnp.arange(n, dtype=jnp.int32)
+    hop_local = jnp.remainder(i + (dev_perm(n, seed=9) % 800) - 400, n)
 
     @partial(jax.jit, static_argnames=("steps",))
     def chain_local(rows, idx, steps: int):

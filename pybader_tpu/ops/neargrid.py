@@ -28,6 +28,12 @@ the resulting edge errors.  Here every trajectory is walked to termination
 independently, which is order-free and matches the reference *after* its
 refinement converges (the reference's own accuracy harness,
 examples/compare_methods.py, defines that converged state as ground truth).
+The deviation of the >16M-voxel hybrid at the UNconverged shipping config
+(('changed', 2)) is measured against the serial reference in BASELINE.md
+("Hybrid accuracy at the SHIPPING config"): exact at 48^3, 0.03% of voxels
+at a dense 128^3, 1.2% at 192^3 (max per-atom |dq| 0.17% of the total
+charge), pinned by tests/test_hybrid_shipping.py and reproducible with
+_exp/hybrid_accuracy.py.
 """
 from __future__ import annotations
 
@@ -381,19 +387,35 @@ def _walk_segment_counted(state, rows, shape: tuple, max_steps,
     return state, jnp.sum(~state[4])
 
 
-def _bucket_size(n: int, min_batch: int = 4096) -> int:
-    """Smallest 2^k or 3*2^k >= max(n, min_batch).
+_FINE_BUCKETS = __import__("os").environ.get(
+    "PYBADER_TPU_FINE_BUCKETS", "1") == "1"
+# quarter-power bucket ladder (2^k, 5*2^(k-3), 3*2^(k-2), 7*2^(k-3))
+# above this size: worst-case padding 14% instead of 33%.  Only the big
+# buckets get the fine ladder — each extra size is ~3 more compiled
+# programs (segment/compact/scatter), and below ~4M lanes the padding is
+# cheap while the first-pass program-load cost is not.
+_FINE_BUCKET_FLOOR = 1 << 22
 
-    The 3*2^k sizes halve the pow2 padding waste (worst-case bucket
-    occupancy 67% -> 75%, average much better on smooth decays); with the
+
+def _bucket_size(n: int, min_batch: int = 4096) -> int:
+    """Smallest ladder size >= max(n, min_batch).
+
+    Ladder: 2^k and 3*2^k everywhere (worst-case bucket occupancy 67% ->
+    75%); additionally 5*2^k and 7*2^k above _FINE_BUCKET_FLOOR (87.5%
+    worst case where the padding actually costs seconds).  With the
     traced step bound each size still compiles exactly once ever.
     """
     n = max(int(n), min_batch)
     p2 = 1 << (n - 1).bit_length()
-    p3 = 3 << max((n - 1).bit_length() - 2, 0)
-    if n <= p3 < p2 and p3 >= min_batch:
-        return p3
-    return p2
+    cands = [p2, 3 << max((n - 1).bit_length() - 2, 0)]
+    if _FINE_BUCKETS and n >= _FINE_BUCKET_FLOOR:
+        cands += [5 << max((n - 1).bit_length() - 3, 0),
+                  7 << max((n - 1).bit_length() - 3, 0)]
+    best = p2
+    for c in cands:
+        if min_batch <= n <= c < best:
+            best = c
+    return best
 
 
 @partial(jax.jit, static_argnames=("size", "sort_pos"))
@@ -489,6 +511,13 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
 
 
 _LANE_STEP_BUDGET = 300_000_000
+# boundary cost model for the adaptive count-fetch pipeline (walk_drain):
+# measured v5e row-gather rate and count-fetch round trip through the
+# axon tunnel; env-overridable for other hosts
+_GATHER_RATE = float(__import__("os").environ.get(
+    "PYBADER_TPU_GATHER_RATE", 79e6))
+_COUNT_RTT = float(__import__("os").environ.get(
+    "PYBADER_TPU_COUNT_RTT", 0.035))  # _exp/dispatch_probe.py: ~30 ms
 # order live lanes by grid position at compaction boundaries (gather
 # locality); default set by the _exp/walker_microbench.py measurement,
 # env-overridable for on-device A/B runs
@@ -539,6 +568,9 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     nx, ny, nz = shape
     if max_steps == 0:
         max_steps = 2 * (nx + ny + nz) + 64
+    env_seg = __import__("os").environ.get("PYBADER_TPU_SEGMENTS")
+    if env_seg:  # on-device schedule A/B without code edits
+        segments = tuple(int(s) for s in env_seg.split(","))
     if fields is None:
         rows = precompute_rows(
             rho_flat.reshape(shape), parent_flat.reshape(shape),
@@ -555,19 +587,28 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     orig = None  # lane -> original index map once compacted
     size = k0
 
-    # Non-speculative segment loop with the alive count fused into the
-    # segment program: each boundary is one dispatch + one scalar fetch,
-    # and compaction decisions see the FRESH count.  (An earlier variant
-    # pipelined the count fetch behind a speculative next segment; the
-    # stale count made every bucket shrink land one segment late, which
-    # at a 7.3M-edge refinement walk nearly doubled the paid lane-steps
-    # — 554M vs ~290M — for ~50 ms of hidden fetch latency per boundary.)
-    # Once the live set fits _TAIL_BUCKET lanes the rest of the walk is a
-    # single dispatch: the long-tail had been paying a fixed ~35 ms
-    # per 64-step slice for thousands of lanes (1+ s of dispatch overhead
-    # per full-trajectory call).
+    # ADAPTIVELY PIPELINED segment loop.  Each boundary pays one of two
+    # costs: blocking on the fused live count (a tunnel round trip,
+    # ~0.15 s measured — ~8 s across a default 384^3 run's ~47
+    # boundaries) or deferring the fetch behind the next dispatched
+    # segment, which makes the bucket shrink land one segment late
+    # (extra padded lane-steps = size x decay x seg / gather-rate — up
+    # to ~0.8 s during the fast early decay, pennies once the decay
+    # flattens; measured: always-sync 32.0 s, always-pipelined 38.1 s
+    # at 384^3).  The rule below predicts the lag cost from the last
+    # observed decay ratio and defers only when it undercuts the round
+    # trip.  Safety either way: live counts only ever DECREASE, so a
+    # compaction bucket sized by a one-segment-stale count can never
+    # drop a live lane.  Short mid-decay segments drop the per-step
+    # all(done) reduction; the tail's long budget-bounded segment keeps
+    # the early exit, so a post-zero speculative segment retires after
+    # one device-side test rather than a full slice.  Once the live set
+    # fits _TAIL_BUCKET lanes the rest of the walk is a single dispatch.
     steps = 0
     seg_i = 0
+    pending = None  # deferred count of the previous segment
+    last_n = float(size)
+    ratio = 0.5  # assume fast decay until measured: sync the first ones
     while steps < max_steps:
         remaining = max_steps - steps
         budget = max(1, _LANE_STEP_BUDGET // max(size, 1))
@@ -577,16 +618,28 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
             want = segments[min(seg_i, len(segments) - 1)]
             seg = max(1, min(want, remaining, budget))
         seg_i += 1
-        # short mid-decay segments never finish early (the bucket shrinks
-        # first), so they drop the per-step all(done) reduction; the
-        # tail's long budget-bounded segment keeps the early exit
         state, cnt = _walk_segment_counted(
             state, rows, shape, seg, early_exit=size <= _TAIL_BUCKET)
         steps += seg
-        n_alive = int(cnt)
+        lag_cost = size * max(0.0, 1.0 - ratio) * seg / _GATHER_RATE
+        if lag_cost > _COUNT_RTT or steps >= max_steps:
+            n_alive = int(cnt)  # fresh count; drop any deferred one
+            pending = None
+            at_steps = steps
+        elif pending is None:
+            pending = cnt  # defer: dispatch the next segment first
+            continue
+        else:
+            n_alive = int(pending)  # stale by one segment; device is
+            pending = cnt           # already crunching the fresh one
+            at_steps = steps - seg
+        r = n_alive / max(last_n, 1.0)
+        ratio = min(1.0, r if last_n else 1.0)
+        last_n = float(max(n_alive, 1))
         if progress is not None:
-            progress(steps, n_alive)
+            progress(at_steps, n_alive)
         if n_alive == 0:
+            # any in-flight segment froze every lane: value-equal state
             break
         new_size = _bucket_size(n_alive, min_batch)
         if new_size < size and size > min_batch:

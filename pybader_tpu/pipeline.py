@@ -475,9 +475,16 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
 
             def _mark(d, key, t0, x=None):
                 if x is not None:
+                    # sync via a one-element fetch (block_until_ready is
+                    # unreliable through the tunnel); slice BEFORE any
+                    # cast — an astype of the full (N,4) rows picks a
+                    # T(8,128) padded layout, a 29 GB copy at 384^3
                     jax.block_until_ready(x)
-                    float(jnp.sum(jnp.asarray(x).astype(jnp.float32)
-                                  .reshape(-1)[:1]))
+                    v = jnp.asarray(x)
+                    while v.ndim > 1:  # eager slices, never a reshape:
+                        v = v[0]       # a full-array reshape/astype can
+                    # pick a T(8,128) padded relayout (29 GB at 384^3)
+                    float(v[:1].astype(jnp.float32)[0])
                 now = _time.perf_counter()
                 d[key] = round(now - t0, 3)
                 return now

@@ -24,7 +24,13 @@ from pybader_tpu.ops.pointer import resolve_roots
 from pybader_tpu.ops.stencil import ongrid_step_codes, parent_from_step_codes
 
 
-def blob_density(shape, n_blobs, seed, blur=150.0):
+def blob_density(shape, n_blobs, seed, blur=150.0, bg_amp=10.0,
+                 bg_blur=15000.0):
+    """Sharp blobs on a smooth interstitial background (bench-field
+    construction): without the background the field is numerically ~zero
+    between blobs and f64 FFT noise spawns thousands of one-voxel basins
+    (round-2 lesson; it also made the label-loop kernels' kp explode in
+    these tests — VERDICT r4)."""
     rng = np.random.default_rng(seed)
     rho = np.zeros(shape)
     idx = tuple(rng.integers(0, s, size=n_blobs) for s in shape)
@@ -34,7 +40,8 @@ def blob_density(shape, n_blobs, seed, blur=150.0):
         ** 2
         for d, s in enumerate(shape)
     )
-    rho = np.real(np.fft.ifftn(np.fft.fftn(rho) * np.exp(-k2 * blur)))
+    filt = np.exp(-k2 * blur) + bg_amp * np.exp(-k2 * bg_blur)
+    rho = np.real(np.fft.ifftn(np.fft.fftn(rho) * filt))
     return np.ascontiguousarray(rho - rho.min() + 1e-9)
 
 
@@ -334,7 +341,17 @@ def test_pallas_label_reductions_match_xla():
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
     c1, v1 = pr.charge_volume(rho_dev, labels, 1.0, n_max)
     c0, v0 = red._charge_volume_sum_xla(rho_dev, labels, 1.0, n_max)
-    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-8)
+    # ground truth in host f64: both device paths are split-f32
+    # accumulations that differ from it (and from each other) only by
+    # f32 summation order — hold both to the same truth-relative bound
+    lab_h = np.asarray(labels).reshape(-1)
+    truth = np.bincount(lab_h[lab_h >= 0],
+                        weights=rho[np.asarray(labels) >= 0],
+                        minlength=n_max)
+    np.testing.assert_allclose(np.asarray(c1), truth, rtol=1e-6,
+                               atol=1e-9 * truth.max())
+    np.testing.assert_allclose(np.asarray(c0), truth, rtol=1e-6,
+                               atol=1e-9 * truth.max())
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
 
 
