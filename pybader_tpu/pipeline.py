@@ -525,13 +525,18 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             _t_st = _mark(d_st, "compact", _t_st, starts_dev_padded)
         # cap trajectories: period>2 cycles escape the walker's revisit
         # detection and would otherwise spin to the global cap; stragglers
-        # resolve through their ongrid root below
+        # resolve through their ongrid root below.  Ridge trajectories
+        # lengthen with resolution (192 steps capped 2.5k of 7M lanes at
+        # 512^3 vs ~70 at 384^3), so the cap scales with the largest
+        # grid extent; it is a TRACED bound in the walker, so this costs
+        # no extra compiles.
+        step_cap = 192 if max(shape) <= 384 else 96 + max(shape) // 2
         if multi:
             from pybader_tpu.parallel.walk import walk_sharded
 
             pos, done = walk_sharded(
                 mesh, starts_dev_padded, reference, parent, known == 2,
-                t_grad, strict_grad=True, max_steps=192,
+                t_grad, strict_grad=True, max_steps=step_cap,
             )
         else:
             walk_fields = neargrid_ops.update_stop(
@@ -552,14 +557,14 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     parts.append(neargrid_ops.walk_drain(
                         starts_dev_padded[lo2:lo2 + chunk_cap],
                         None, None, None, t_grad, shape,
-                        strict_grad=True, max_steps=192,
+                        strict_grad=True, max_steps=step_cap,
                         fields=walk_fields, **wkw))
                 pos = jnp.concatenate([p for p, _ in parts])
                 done = jnp.concatenate([d for _, d in parts])
             else:
                 pos, done = neargrid_ops.walk_drain(
                     starts_dev_padded, None, None, None,
-                    t_grad, shape, strict_grad=True, max_steps=192,
+                    t_grad, shape, strict_grad=True, max_steps=step_cap,
                     fields=walk_fields, **wkw,
                 )
         if d_st is not None:
