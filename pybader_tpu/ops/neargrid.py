@@ -135,6 +135,278 @@ def _set_packed_col(rows, packed):
 
 _store_packed = jax.jit(_set_packed_col, donate_argnums=(0,))
 
+# ---------------------------------------------------------------------------
+# Quantised 8-byte rows (internal-iteration fast path)
+#
+# The row gather is BYTE-bound (BASELINE.md: ~1.26 GB/s effective whatever
+# the layout), so packing the walk operand into two int32 words doubles the
+# walk rate.  Layout:
+#
+#   word0 = q0[0:16) | q1[16:32)          int16 fixed-point gradient
+#   word1 = q2[0:16) | code[16:21)        ongrid step code (OFFSETS order,
+#           | ONGRID(28) MAX(29) STOP(30)  13 == self == maximum)
+#
+# with q_i = round(g_i * 32767) of the inf-normalised transformed gradient
+# (|g_i| <= 1 by construction).  Quantisation error <= 1.5e-5 per component
+# per step; BASELINE.md's knife-edge scaling projects ~0.1% flipped
+# watershed voxels vs the f32 walk — fine for the hybrid's INTERNAL
+# refinement iterations (an approximation stage whose changed voxels are
+# re-walked by later exact-f32 iterations), NOT for the user-visible
+# refinement which keeps 16-byte f32 rows (reference parity currency).
+# The ongrid fallback target is a 5-bit neighbour code instead of a flat
+# index, so the packed word no longer bounds the grid at 2^28 voxels —
+# the q-walker works at any int32-addressable grid.
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 32767.0
+_CODE_SHIFT = 16
+_CODE_MASK = jnp.int32(31)
+
+
+def _q_of(word, half: int):
+    """Sign-extended int16 half of an int32 word (0 = low, 1 = high)."""
+    if half == 0:
+        return (word << 16) >> 16  # arithmetic shift sign-extends
+    return word >> 16
+
+
+def precompute_qrows(reference, bk, t_grad, strict_grad: bool):
+    """(N,2) int32 quantised walk rows (no stop bits).
+
+    ``bk`` is the uint8 ascent step-code grid (OFFSETS order, vacuum
+    already forced to 13) — the ongrid fallback travels by code, not by
+    flat parent index.  Built column-wise with donation like
+    :func:`precompute_rows` (the f64 gd columns dominate the peak).
+    """
+    gd = list(_gd_components(reference, jnp.asarray(t_grad), strict_grad))
+    denom, use_ongrid = _denom_flags(*gd)
+    q = []
+    for j in range(3):
+        col = _div_inplace(gd[j], denom)
+        gd[j] = None
+        q.append(_quantize_col(col))
+    del denom
+    return _pack_qwords(q[0], q[1], q[2], bk.reshape(-1), use_ongrid)
+
+
+@jax.jit
+def _quantize_col(col):
+    # no donation: the f64 column cannot alias the int32 output anyway
+    return jnp.round(col * _Q_SCALE).astype(jnp.int32)
+
+
+@jax.jit
+def _pack_qwords(q0, q1, q2, bk_flat, use_ongrid):
+    # no donation: (N,) columns cannot alias the stacked (N,2) output
+    word0 = (q0 & 0xFFFF) | (q1 << 16)
+    word1 = (q2 & 0xFFFF) | (bk_flat.astype(jnp.int32) << _CODE_SHIFT)
+    word1 = word1 | jnp.where(use_ongrid, _ONGRID_BIT, 0)
+    word1 = word1 | jnp.where(bk_flat == jnp.uint8(13), _MAX_BIT, 0)
+    return jnp.stack([word0, word1], axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def update_stop_q(qrows, stop_flat):
+    """Re-bake the stop set into quantised rows, in place (donated)."""
+    w1 = (qrows[:, 1] & ~_STOP_BIT) | jnp.where(stop_flat, _STOP_BIT, 0)
+    return qrows.at[:, 1].set(w1)
+
+
+@partial(jax.jit, static_argnames=("shape", "early_exit"))
+def _walk_segment_q(state, qrows, shape: tuple, max_steps,
+                    early_exit: bool = True):
+    """Quantised-row twin of :func:`_walk_segment_packed`.
+
+    Step-for-step the same control flow (ongrid fallback, revisit window,
+    dr reset, done freezing); the only difference is the operand: the
+    gradient is dequantised int16 fixed point and the ongrid fallback
+    target is decoded from the 5-bit neighbour code relative to the
+    current position instead of gathered as a flat index.
+    """
+    nx, ny, nz = shape
+    dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+
+    def flat(xyz):
+        return (xyz[..., 0] * ny + xyz[..., 1]) * nz + xyz[..., 2]
+
+    def unflat(p):
+        return jnp.stack([p // (ny * nz), (p // nz) % ny, p % nz], axis=-1)
+
+    def fetch(pos, done):
+        row = jnp.take(qrows, pos, axis=0, mode="clip")  # (K, 2)
+        w0, w1 = row[:, 0], row[:, 1]
+        done = done | ((w1 & (_MAX_BIT | _STOP_BIT)) != 0)
+        g = jnp.stack(
+            [_q_of(w0, 0), _q_of(w0, 1), _q_of(w1, 0)], axis=-1
+        ).astype(jnp.float32) * jnp.float32(1.0 / _Q_SCALE)
+        code = (w1 >> _CODE_SHIFT) & _CODE_MASK
+        return done, g, code, (w1 & _ONGRID_BIT) != 0
+
+    limit = jnp.asarray(max_steps, jnp.int32)
+
+    def cond(carry):
+        pos, prev, hist, dr, done, step = carry
+        alive = ~jnp.all(done) if early_exit else jnp.bool_(True)
+        return alive & (step < limit)
+
+    def body(carry):
+        pos, prev, hist, dr, done, step = carry
+        done, g, code, use_ongrid = fetch(pos, done)
+
+        xyz = unflat(pos)
+        # OFFSETS order: code -> (code//9 - 1, (code//3)%3 - 1, code%3 - 1)
+        og_off = jnp.stack(
+            [code // 9 - 1, (code // 3) % 3 - 1, code % 3 - 1], axis=-1)
+        ongrid_next = flat(jnp.remainder(xyz + og_off, dims))
+
+        int_grad = _round_away(g)
+        dr_new = dr + g - int_grad
+        int_dr = _round_away(dr_new)
+        dr_after = dr_new - int_dr
+        nxt = flat(jnp.remainder(xyz + int_grad + int_dr, dims))
+
+        nxt = jnp.where(use_ongrid, ongrid_next, nxt)
+        revisit = (nxt == pos) | (nxt == prev)
+        for h in range(hist.shape[-1]):
+            revisit = revisit | (nxt == hist[:, h])
+        nxt = jnp.where(revisit, ongrid_next, nxt)
+        reset = use_ongrid | revisit
+        dr_after = jnp.where(reset[:, None], 0.0, dr_after)
+
+        pos_new = jnp.where(done, pos, nxt)
+        prev_new = jnp.where(done, prev, pos)
+        hist_new = jnp.where(
+            done[:, None], hist,
+            jnp.concatenate([prev[:, None], hist[:, :-1]], axis=1))
+        dr_out = jnp.where(done[:, None], dr, dr_after)
+        return pos_new, prev_new, hist_new, dr_out, done, step + 1
+
+    pos, prev, hist, dr, done = state
+    pos, prev, hist, dr, done, _ = jax.lax.while_loop(
+        cond, body, (pos, prev, hist, dr, done, jnp.int32(0))
+    )
+    done, _, _, _ = fetch(pos, done)
+    return pos, prev, hist, dr, done
+
+
+@partial(jax.jit, static_argnames=("shape", "early_exit"))
+def _walk_segment_counted_q(state, qrows, shape: tuple, max_steps,
+                            early_exit: bool = True):
+    state = _walk_segment_q(state, qrows, shape, max_steps, early_exit)
+    return state, jnp.sum(~state[4])
+
+
+# Per-decision error bound for the SCREENED quantised walk: quantisation
+# round-off (0.5/32767 = 1.526e-5) + dequantise/accumulate f32 rounding
+# headroom.  Sound per component per step; dr's bound accumulates since
+# the last reset (ongrid fallback / revisit zeroes dr exactly on both row
+# formats).
+_QS_EPS = jnp.float32(1.7e-5)
+
+
+@partial(jax.jit, static_argnames=("shape", "early_exit"))
+def _walk_segment_qs(state, qrows, shape: tuple, max_steps,
+                     early_exit: bool = True):
+    """Screened quantised walk segment: q-rows + per-lane exactness proof.
+
+    Identical stepping to :func:`_walk_segment_q`, plus two extra state
+    fields: ``err`` — a running upper bound on |dr_q - dr_exact| per
+    component (grows by _QS_EPS per step, reset with dr) — and ``risky``
+    — set once any integer rounding decision (round_away of g or of
+    dr_new, the only discontinuities, at |x| = 0.5) comes within the
+    current bound of its threshold.  A lane that finishes with
+    ``risky == False`` provably took the same integer steps the
+    exact-row walk would take (same positions, same termination); risky
+    lanes are re-walked on exact rows by :func:`walk_drain_screened`.
+    Ongrid-fallback steps make no gradient decisions, so they never
+    flag.
+    """
+    nx, ny, nz = shape
+    dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
+
+    def flat(xyz):
+        return (xyz[..., 0] * ny + xyz[..., 1]) * nz + xyz[..., 2]
+
+    def unflat(p):
+        return jnp.stack([p // (ny * nz), (p // nz) % ny, p % nz], axis=-1)
+
+    def fetch(pos, done):
+        row = jnp.take(qrows, pos, axis=0, mode="clip")  # (K, 2)
+        w0, w1 = row[:, 0], row[:, 1]
+        done = done | ((w1 & (_MAX_BIT | _STOP_BIT)) != 0)
+        g = jnp.stack(
+            [_q_of(w0, 0), _q_of(w0, 1), _q_of(w1, 0)], axis=-1
+        ).astype(jnp.float32) * jnp.float32(1.0 / _Q_SCALE)
+        code = (w1 >> _CODE_SHIFT) & _CODE_MASK
+        return done, g, code, (w1 & _ONGRID_BIT) != 0
+
+    limit = jnp.asarray(max_steps, jnp.int32)
+
+    def cond(carry):
+        pos, prev, hist, dr, done, err, risky, step = carry
+        alive = ~jnp.all(done) if early_exit else jnp.bool_(True)
+        return alive & (step < limit)
+
+    def body(carry):
+        pos, prev, hist, dr, done, err, risky, step = carry
+        done, g, code, use_ongrid = fetch(pos, done)
+
+        xyz = unflat(pos)
+        og_off = jnp.stack(
+            [code // 9 - 1, (code // 3) % 3 - 1, code % 3 - 1], axis=-1)
+        ongrid_next = flat(jnp.remainder(xyz + og_off, dims))
+
+        int_grad = _round_away(g)
+        dr_new = dr + g - int_grad
+        int_dr = _round_away(dr_new)
+        dr_after = dr_new - int_dr
+        nxt = flat(jnp.remainder(xyz + int_grad + int_dr, dims))
+
+        # exactness screen: round_away is discontinuous only at |x|=0.5
+        d_g = jnp.min(jnp.abs(jnp.abs(g) - 0.5), axis=-1)
+        d_dr = jnp.min(jnp.abs(jnp.abs(dr_new) - 0.5), axis=-1)
+        risky_step = (d_g < _QS_EPS) | (d_dr < err + _QS_EPS)
+
+        nxt = jnp.where(use_ongrid, ongrid_next, nxt)
+        revisit = (nxt == pos) | (nxt == prev)
+        for h in range(hist.shape[-1]):
+            revisit = revisit | (nxt == hist[:, h])
+        nxt = jnp.where(revisit, ongrid_next, nxt)
+        reset = use_ongrid | revisit
+        dr_after = jnp.where(reset[:, None], 0.0, dr_after)
+
+        # ongrid-fallback lanes take no gradient decision this step
+        risky = risky | (risky_step & ~use_ongrid & ~done)
+        err_new = jnp.where(reset, 0.0, err + _QS_EPS)
+
+        pos_new = jnp.where(done, pos, nxt)
+        prev_new = jnp.where(done, prev, pos)
+        hist_new = jnp.where(
+            done[:, None], hist,
+            jnp.concatenate([prev[:, None], hist[:, :-1]], axis=1))
+        dr_out = jnp.where(done[:, None], dr, dr_after)
+        err_out = jnp.where(done, err, err_new)
+        return pos_new, prev_new, hist_new, dr_out, done, err_out, \
+            risky, step + 1
+
+    pos, prev, hist, dr, done, err, risky = state
+    pos, prev, hist, dr, done, err, risky, _ = jax.lax.while_loop(
+        cond, body, (pos, prev, hist, dr, done, err, risky, jnp.int32(0))
+    )
+    done, _, _, _ = fetch(pos, done)
+    return pos, prev, hist, dr, done, err, risky
+
+
+@partial(jax.jit, static_argnames=("shape", "early_exit"))
+def _walk_segment_counted_qs(state, qrows, shape: tuple, max_steps,
+                             early_exit: bool = True):
+    state = _walk_segment_qs(state, qrows, shape, max_steps, early_exit)
+    return state, jnp.sum(~state[4])
+
+
+def is_qrows(fields) -> bool:
+    return fields is not None and fields.dtype == jnp.int32
+
 
 def _packed_of(rows_col):
     """Read the packed-parent word back from lane 3 (inverse of
@@ -192,12 +464,16 @@ def update_stop(rows, stop_flat):
     return _set_packed_col(rows, pk)
 
 
-def _init_state(starts, dtype):
+def _init_state(starts, dtype, screened: bool = False):
     pos0 = jnp.clip(starts, 0).astype(jnp.int32)
     done0 = starts < 0
     prev0 = jnp.full_like(pos0, -1)
     hist0 = jnp.full(starts.shape + (_HIST,), -1, dtype=jnp.int32)
     dr0 = jnp.zeros(starts.shape + (3,), dtype=dtype)
+    if screened:
+        err0 = jnp.zeros(starts.shape, dtype=jnp.float32)
+        risky0 = jnp.zeros(starts.shape, dtype=bool)
+        return pos0, prev0, hist0, dr0, done0, err0, risky0
     return pos0, prev0, hist0, dr0, done0
 
 
@@ -580,8 +856,15 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     else:
         assert stop_flat is None, "bake stop bits via update_stop"
         rows = fields
+    qmode = is_qrows(rows)
+    seg_fn = _walk_segment_counted_q if qmode else _walk_segment_counted
+    # the gather is byte-bound: scale the measured 16-byte-row rate and
+    # the per-program lane-step budget by the actual row width
+    row_bytes = rows.shape[-1] * rows.dtype.itemsize
+    gather_rate = _GATHER_RATE * 16.0 / row_bytes
+    step_budget = int(_LANE_STEP_BUDGET * 16 // row_bytes)
     k0 = int(starts.shape[0])
-    state = _init_state(starts, rows.dtype)
+    state = _init_state(starts, jnp.float32 if qmode else rows.dtype)
     out_pos = state[0]
     out_done = state[4]
     orig = None  # lane -> original index map once compacted
@@ -611,17 +894,17 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     ratio = 0.5  # assume fast decay until measured: sync the first ones
     while steps < max_steps:
         remaining = max_steps - steps
-        budget = max(1, _LANE_STEP_BUDGET // max(size, 1))
+        budget = max(1, step_budget // max(size, 1))
         if size <= _TAIL_BUCKET:
             seg = min(remaining, budget)
         else:
             want = segments[min(seg_i, len(segments) - 1)]
             seg = max(1, min(want, remaining, budget))
         seg_i += 1
-        state, cnt = _walk_segment_counted(
+        state, cnt = seg_fn(
             state, rows, shape, seg, early_exit=size <= _TAIL_BUCKET)
         steps += seg
-        lag_cost = size * max(0.0, 1.0 - ratio) * seg / _GATHER_RATE
+        lag_cost = size * max(0.0, 1.0 - ratio) * seg / gather_rate
         if lag_cost > _COUNT_RTT or steps >= max_steps:
             n_alive = int(cnt)  # fresh count; drop any deferred one
             pending = None

@@ -322,10 +322,22 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
             labels, maxima = partition_ongrid(
                 reference, vac, weights, mesh=mesh, progress=progress)
             internal = _NEARGRID_HYBRID_REFINE
+        # internal iterations are approximation machinery (not reference
+        # semantics): walk them on the 8-byte quantised rows — their
+        # changed voxels are re-walked by the exact user iterations that
+        # chain on via the carry (accuracy at the shipping config is
+        # measured in BASELINE.md; PYBADER_TPU_QROWS=off restores f32)
+        q_internal = os.environ.get(
+            "PYBADER_TPU_QROWS", "internal") in ("internal", "all")
+        # optional internal-iteration step cap (lanes past it resolve
+        # through ongrid roots — the documented cap-and-resolve
+        # approximation); 0 = use the safety formula.  Accuracy/cost
+        # trade-off measured in BASELINE.md (_exp/hybrid_accuracy.py).
+        icap = int(os.environ.get("PYBADER_TPU_INTERNAL_CAP", "0")) or None
         labels, _ = refine_labels(
             "neargrid", internal, reference, labels,
             weights, t_grad, verbose=False, mesh=mesh, progress=progress,
-            carry_out=carry_out,
+            carry_out=carry_out, quantized=q_internal, step_cap=icap,
         )
         # refinement reassigns edge voxels among the existing basin ids;
         # numbering and the maxima list stay those of the initialisation
@@ -372,7 +384,9 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
 
 def refine_labels(method: str, refine_mode, reference, labels, weights,
                   t_grad, verbose: bool = True, mesh=None, stats=None,
-                  progress=None, carry_in=None, carry_out=None):
+                  progress=None, carry_in=None, carry_out=None,
+                  quantized: bool | None = None,
+                  step_cap: int | None = None):
     """Iterative neargrid edge refinement to (or towards) a fixed point.
 
     Mirrors reference thread_handlers.refine (:128-236): iteration 1 walks
@@ -405,6 +419,15 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     The carry is single-use (its row buffer is donated onward).  Both are
     ignored for 'all' mode and on a multi-device mesh.
 
+    ``quantized`` selects the 8-byte int16-fixed-point walker rows
+    (ops/neargrid.py "Quantised 8-byte rows"): ~2x the walk rate at a
+    documented ~1.5e-5 gradient quantisation.  The hybrid's INTERNAL
+    refinement passes True (its changed voxels are re-walked by later
+    exact iterations); user-visible refinement defaults to the exact f32
+    rows unless PYBADER_TPU_QROWS=all.  On the CPU backend quantisation
+    additionally requires PYBADER_TPU_QROWS_CPU=1 (oracle-parity tests
+    stay exact); a carry whose row format differs is rebuilt.
+
     returns (labels, total_changed).
     """
     if method not in REFINEMENT_METHODS:
@@ -432,6 +455,23 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         carry_in = carry_out = None
     if carry_in is not None and carry_in.get("converged"):
         return labels, 0
+    import os
+
+    if quantized is None:
+        quantized = os.environ.get("PYBADER_TPU_QROWS", "internal") == "all"
+    quantized = bool(quantized) and not multi and (
+        jax.default_backend() != "cpu"
+        or os.environ.get("PYBADER_TPU_QROWS_CPU") == "1")
+
+    def _build_rows(bk_grid, parent_grid=None):
+        if quantized:
+            return neargrid_ops.precompute_qrows(
+                reference, bk_grid, t_grad, strict_grad=True)
+        if parent_grid is None:
+            parent_grid = parent_from_step_codes(bk_grid)
+        return neargrid_ops.precompute_rows(
+            reference, parent_grid, t_grad, strict_grad=True)
+
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
     if carry_in is not None and "known" in carry_in:
         # continuation of a prior 'changed' call on the same labels:
@@ -442,6 +482,14 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         walk_fields = carry_in["fields"]
         known = carry_in["known"]
         starts_small = carry_in.get("starts_small")
+        if walk_fields is not None and (
+                neargrid_ops.is_qrows(walk_fields) != quantized):
+            # row-format boundary (quantised internal hybrid -> exact
+            # user refinement): free the old rows, rebuild in this
+            # call's format from the carried step codes
+            carry_in["fields"] = walk_fields = None
+        if walk_fields is None and not multi:
+            walk_fields = _build_rows(bk)
     else:
         vac = labels == -1
         parent, bk = _parent_and_codes(reference, vac, weights)
@@ -451,8 +499,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             # in the rows, the cap-fire root fallback recomputes it (or
             # uses the scan flood straight from bk), and at 512^3 the
             # extra 0.5 GB matters next to the 4.3 GB rows buffer
-            walk_fields = neargrid_ops.precompute_rows(
-                reference, parent, t_grad, strict_grad=True)
+            walk_fields = _build_rows(bk, parent)
             parent = None
         # local maximum <=> self ascent step: lets the edge stencils skip
         # 26 rolls of the f64 density grid (ops/edges._edge_and_max)
@@ -529,18 +576,25 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         # lengthen with resolution (192 steps capped 2.5k of 7M lanes at
         # 512^3 vs ~70 at 384^3), so the cap scales with the largest
         # grid extent; it is a TRACED bound in the walker, so this costs
-        # no extra compiles.
-        step_cap = 192 if max(shape) <= 384 else 96 + max(shape) // 2
+        # no extra compiles.  A caller-supplied ``step_cap`` (the hybrid's
+        # internal iterations) overrides the safety formula: truncated
+        # lanes resolve through ongrid roots, the same documented
+        # cap-and-resolve approximation (tests/test_step_cap.py).
+        cap = step_cap
+        if cap is None:
+            cap = 192 if max(shape) <= 384 else 96 + max(shape) // 2
         if multi:
             from pybader_tpu.parallel.walk import walk_sharded
 
             pos, done = walk_sharded(
                 mesh, starts_dev_padded, reference, parent, known == 2,
-                t_grad, strict_grad=True, max_steps=step_cap,
+                t_grad, strict_grad=True, max_steps=cap,
             )
         else:
-            walk_fields = neargrid_ops.update_stop(
-                walk_fields, (known == 2).reshape(-1))
+            stop_upd = (neargrid_ops.update_stop_q
+                        if neargrid_ops.is_qrows(walk_fields)
+                        else neargrid_ops.update_stop)
+            walk_fields = stop_upd(walk_fields, (known == 2).reshape(-1))
             if d_st is not None:
                 _t_st = _mark(d_st, "update_stop", _t_st, walk_fields)
             wkw = {}
@@ -557,14 +611,14 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                     parts.append(neargrid_ops.walk_drain(
                         starts_dev_padded[lo2:lo2 + chunk_cap],
                         None, None, None, t_grad, shape,
-                        strict_grad=True, max_steps=step_cap,
+                        strict_grad=True, max_steps=cap,
                         fields=walk_fields, **wkw))
                 pos = jnp.concatenate([p for p, _ in parts])
                 done = jnp.concatenate([d for _, d in parts])
             else:
                 pos, done = neargrid_ops.walk_drain(
                     starts_dev_padded, None, None, None,
-                    t_grad, shape, strict_grad=True, max_steps=step_cap,
+                    t_grad, shape, strict_grad=True, max_steps=cap,
                     fields=walk_fields, **wkw,
                 )
         if d_st is not None:
