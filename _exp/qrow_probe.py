@@ -58,7 +58,13 @@ def main():
         ("i32x2 ( 8B)", jnp.zeros((n, 2), jnp.int32)),
         ("i32x1 ( 4B)", jnp.zeros((n, 1), jnp.int32)),
     )
-    for k in (1 << 21, 1 << 23):
+    import sys as _sys
+    lane_list = [int(x) for x in (_sys.argv[1:] if False else [])] or \
+        [1 << 21, 1 << 23]
+    env_lanes = os.environ.get("QROW_LANES")
+    if env_lanes:
+        lane_list = [1 << int(x) for x in env_lanes.split(",")]
+    for k in lane_list:
         idx0 = jnp.asarray(rng.integers(0, n, size=k), jnp.int32)
         for name, rows in layouts:
             run = chained(rows)

@@ -148,11 +148,20 @@ _store_packed = jax.jit(_set_packed_col, donate_argnums=(0,))
 #
 # with q_i = round(g_i * 32767) of the inf-normalised transformed gradient
 # (|g_i| <= 1 by construction).  Quantisation error <= 1.5e-5 per component
-# per step; BASELINE.md's knife-edge scaling projects ~0.1% flipped
-# watershed voxels vs the f32 walk — fine for the hybrid's INTERNAL
-# refinement iterations (an approximation stage whose changed voxels are
-# re-walked by later exact-f32 iterations), NOT for the user-visible
-# refinement which keeps 16-byte f32 rows (reference parity currency).
+# per step.  Two usage modes:
+#
+#   SCREENED (:func:`_walk_segment_qs` + :func:`walk_drain_screened`, the
+#   pipeline default): every rounding decision is checked against a sound
+#   running error bound; unproven lanes re-walk on exact rows, so results
+#   are bit-identical to exact-row walking — safe for user-visible
+#   refinement.
+#
+#   UNSCREENED (:func:`_walk_segment_q`): BASELINE.md's knife-edge scaling
+#   projects ~0.1% flipped watershed voxels vs the f32 walk — acceptable
+#   only for the hybrid's internal iterations (approximation machinery
+#   whose changed voxels are re-walked by later exact iterations),
+#   opt-in via PYBADER_TPU_QROWS=internal|all.
+#
 # The ongrid fallback target is a 5-bit neighbour code instead of a flat
 # index, so the packed word no longer bounds the grid at 2^28 voxels —
 # the q-walker works at any int32-addressable grid.
@@ -745,9 +754,48 @@ def _compact_state(state, size: int, sort_pos: bool = False):
             orig, jnp.sum(~done))
 
 
+@partial(jax.jit, static_argnames=("size", "sort_pos"))
+def _compact_state_s(state, size: int, sort_pos: bool = False):
+    """:func:`_compact_state` for the screened 7-field state.
+
+    Same single packed int32 row gather; the extra fields ride as
+    column 8 (bitcast f32 ``err``) and the ``risky`` bit at posd bit 30
+    (pos < 2^30 — any grid the int32 flat index addresses in practice —
+    leaves bit 30 free under the done sign bit).
+    """
+    pos, prev, hist, dr, done, err, risky = state
+    if sort_pos:
+        key = (done.astype(jnp.int32) << 30) | pos
+        order = jnp.argsort(key).astype(jnp.int32)
+    else:
+        order = jnp.argsort(done, stable=True).astype(jnp.int32)
+    orig = order[:size]
+    posd = pos | jnp.where(done, jnp.int32(-(1 << 31)), jnp.int32(0)) \
+        | jnp.where(risky, jnp.int32(1 << 30), jnp.int32(0))
+    mat = jnp.concatenate(
+        [posd[:, None], prev[:, None], hist,
+         jax.lax.bitcast_convert_type(dr, jnp.int32),
+         jax.lax.bitcast_convert_type(err, jnp.int32)[:, None]], axis=1)
+    sub = jnp.take(mat, orig, axis=0)
+    posd2 = sub[:, 0]
+    done2 = posd2 < 0
+    risky2 = (posd2 & (1 << 30)) != 0
+    pos2 = posd2 & jnp.int32((1 << 30) - 1)
+    dr2 = jax.lax.bitcast_convert_type(sub[:, 5:8], jnp.float32)
+    err2 = jax.lax.bitcast_convert_type(sub[:, 8], jnp.float32)
+    return ((pos2, sub[:, 1], sub[:, 2:5], dr2, done2, err2, risky2),
+            orig, jnp.sum(~done))
+
+
 @partial(jax.jit, static_argnames=())
 def _scatter_back(out_pos, out_done, orig, pos, done):
     return out_pos.at[orig].set(pos), out_done.at[orig].set(done)
+
+
+@partial(jax.jit, static_argnames=())
+def _scatter_back_s(out_pos, out_done, out_risky, orig, pos, done, risky):
+    return (out_pos.at[orig].set(pos), out_done.at[orig].set(done),
+            out_risky.at[orig].set(risky))
 
 
 def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
@@ -814,7 +862,8 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
                strict_grad: bool = False, max_steps: int = 0,
                segments=(8, 8, 8, 8, 16, 16, 32, 32, 64),
                min_batch: int = _TAIL_BUCKET,
-               progress=None, fields=None, rows_dtype=None):
+               progress=None, fields=None, rows_dtype=None,
+               screened: bool = False):
     """:func:`walk` with packed operands and tail-latency drain.
 
     Same contract and trajectory-identical results.  Two changes against
@@ -840,6 +889,9 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     walking repeatedly against the same density (refinement iterations);
     ``stop_flat`` must then be None.
     ``progress``: optional callback(steps_done, n_alive) per segment.
+    ``screened``: quantised rows only — track the per-lane exactness
+    proof (:func:`_walk_segment_qs`) and return (pos, done, risky); the
+    caller re-walks risky lanes on exact rows (walk_drain_screened).
     """
     nx, ny, nz = shape
     if max_steps == 0:
@@ -857,16 +909,22 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
         assert stop_flat is None, "bake stop bits via update_stop"
         rows = fields
     qmode = is_qrows(rows)
-    seg_fn = _walk_segment_counted_q if qmode else _walk_segment_counted
+    if screened:
+        assert qmode, "screened walking needs quantised rows"
+        seg_fn = _walk_segment_counted_qs
+    else:
+        seg_fn = _walk_segment_counted_q if qmode else _walk_segment_counted
     # the gather is byte-bound: scale the measured 16-byte-row rate and
     # the per-program lane-step budget by the actual row width
     row_bytes = rows.shape[-1] * rows.dtype.itemsize
     gather_rate = _GATHER_RATE * 16.0 / row_bytes
     step_budget = int(_LANE_STEP_BUDGET * 16 // row_bytes)
     k0 = int(starts.shape[0])
-    state = _init_state(starts, jnp.float32 if qmode else rows.dtype)
+    state = _init_state(starts, jnp.float32 if qmode else rows.dtype,
+                        screened=screened)
     out_pos = state[0]
     out_done = state[4]
+    out_risky = state[6] if screened else None
     orig = None  # lane -> original index map once compacted
     size = k0
 
@@ -926,22 +984,85 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
             break
         new_size = _bucket_size(n_alive, min_batch)
         if new_size < size and size > min_batch:
-            if orig is not None:
-                out_pos, out_done = _scatter_back(
-                    out_pos, out_done, orig, state[0], state[4])
+            if screened:
+                if orig is not None:
+                    out_pos, out_done, out_risky = _scatter_back_s(
+                        out_pos, out_done, out_risky, orig,
+                        state[0], state[4], state[6])
+                else:
+                    out_pos, out_done, out_risky = \
+                        state[0], state[4], state[6]
+                packed, sub, _ = _compact_state_s(state, new_size,
+                                                  sort_pos=_SORT_COMPACT)
             else:
-                out_pos, out_done = state[0], state[4]
-            packed, sub, _ = _compact_state(state, new_size,
-                                            sort_pos=_SORT_COMPACT)
+                if orig is not None:
+                    out_pos, out_done = _scatter_back(
+                        out_pos, out_done, orig, state[0], state[4])
+                else:
+                    out_pos, out_done = state[0], state[4]
+                packed, sub, _ = _compact_state(state, new_size,
+                                                sort_pos=_SORT_COMPACT)
             orig = sub if orig is None else jnp.take(orig, sub)
             state = packed
             size = new_size
+    if screened:
+        if orig is not None:
+            out_pos, out_done, out_risky = _scatter_back_s(
+                out_pos, out_done, out_risky, orig,
+                state[0], state[4], state[6])
+        else:
+            out_pos, out_done, out_risky = state[0], state[4], state[6]
+        return out_pos, out_done, out_risky
     if orig is not None:
         out_pos, out_done = _scatter_back(
             out_pos, out_done, orig, state[0], state[4])
     else:
         out_pos, out_done = state[0], state[4]
     return out_pos, out_done
+
+
+def walk_drain_screened(starts: jax.Array, t_grad: jax.Array, shape: tuple,
+                        qfields, exact_fields_fn, strict_grad: bool = True,
+                        max_steps: int = 0, progress=None, stats=None):
+    """Exact-parity walk at quantised-row cost.
+
+    Every lane walks the 8-byte quantised rows with the per-decision
+    exactness screen (:func:`_walk_segment_qs`); the lanes the screen
+    could not prove decision-identical to the exact-row walk (typically
+    a small fraction — rounding decisions within ~1.7e-5/step of the
+    0.5 thresholds) are re-walked from scratch on the exact rows, which
+    ``exact_fields_fn()`` supplies lazily (same stop bits baked).  The
+    combined result is bit-identical to walking every lane on the exact
+    rows, at roughly half the gather bytes.
+
+    ``stats``, if a dict, receives ``stats['risky']`` — the flagged-lane
+    count, the observable cost of the screen.
+    returns (pos, done) exactly like :func:`walk_drain`.
+    """
+    pos, done, risky = walk_drain(
+        starts, None, None, None, t_grad, shape, strict_grad=strict_grad,
+        max_steps=max_steps, fields=qfields, progress=progress,
+        screened=True)
+    # padding lanes are born done and never step: risky stays False there
+    n_risky = int(jnp.sum(risky))
+    if stats is not None:
+        stats["risky"] = n_risky
+    if n_risky == 0:
+        return pos, done
+    rows = exact_fields_fn()
+    size = _bucket_size(n_risky, 4096)
+    # risky lanes first (stable), then re-walk the first `size` lanes on
+    # exact rows and overwrite.  Bucket padding re-walks some unflagged
+    # lanes — harmless: the screen proved their exact-row walk identical.
+    order = jnp.argsort(~risky, stable=True).astype(jnp.int32)
+    sel = order[:size]
+    rstarts = jnp.take(starts, sel)
+    rpos, rdone = walk_drain(
+        rstarts, None, None, None, t_grad, shape, strict_grad=strict_grad,
+        max_steps=max_steps, fields=rows)
+    pos = pos.at[sel].set(rpos)
+    done = done.at[sel].set(rdone)
+    return pos, done
 
 
 def pad_starts(idx, min_size: int = 4096):

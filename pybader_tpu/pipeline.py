@@ -322,13 +322,13 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
             labels, maxima = partition_ongrid(
                 reference, vac, weights, mesh=mesh, progress=progress)
             internal = _NEARGRID_HYBRID_REFINE
-        # internal iterations are approximation machinery (not reference
-        # semantics): walk them on the 8-byte quantised rows — their
-        # changed voxels are re-walked by the exact user iterations that
-        # chain on via the carry (accuracy at the shipping config is
-        # measured in BASELINE.md; PYBADER_TPU_QROWS=off restores f32)
-        q_internal = os.environ.get(
-            "PYBADER_TPU_QROWS", "internal") in ("internal", "all")
+        # internal iterations walk the 8-byte quantised rows: screened
+        # (exact) by default; PYBADER_TPU_QROWS=internal|all walks them
+        # unscreened — approximation machinery whose changed voxels are
+        # re-walked by the exact user iterations chained via the carry
+        # (accuracy measured in BASELINE.md); =off restores exact rows
+        q_internal = {"off": False, "internal": "q", "all": "q"}.get(
+            os.environ.get("PYBADER_TPU_QROWS", "screened"), "qs")
         # optional internal-iteration step cap (lanes past it resolve
         # through ongrid roots — the documented cap-and-resolve
         # approximation); 0 = use the safety formula.  Accuracy/cost
@@ -397,9 +397,10 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     the reference (thread_handlers.py:140-143).
 
     ``stats``, if a dict, receives ``stats['iterations']`` — a list of
-    (edges_walked, changed, step_cap_fires) per iteration, so production
-    runs and the bench can record how often the walker's documented
-    cap-and-resolve approximation actually fires.
+    (edges_walked, changed, step_cap_fires, screened_risky_lanes,
+    iteration_seconds) per iteration, so production runs and the bench
+    can record how often the walker's documented cap-and-resolve
+    approximation fires and what the exactness screen's re-walks cost.
 
     With a ``mesh``, the full-grid stencil stages (edge_find/edge_check and
     the ascent stencil) run sharded over the mesh (rolls -> halo
@@ -457,14 +458,30 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         return labels, 0
     import os
 
+    # Row-format policy (PYBADER_TPU_QROWS): 'screened' (default) walks
+    # the 8-byte quantised rows under the per-lane exactness screen and
+    # re-walks the rare unproven lanes on exact rows — bit-identical to
+    # exact-row walking at about half the gather bytes, so it is safe
+    # for user-visible refinement; 'internal'/'all' walk unscreened
+    # quantised rows (internal hybrid only / everywhere — the measured
+    # approximation, BASELINE.md); 'off' keeps exact rows everywhere.
+    # On the CPU backend the unscreened modes additionally require
+    # PYBADER_TPU_QROWS_CPU=1 (oracle-parity tests stay exact; the
+    # screened mode IS exact so it needs no gate).
+    qmode_env = os.environ.get("PYBADER_TPU_QROWS", "screened")
     if quantized is None:
-        quantized = os.environ.get("PYBADER_TPU_QROWS", "internal") == "all"
-    quantized = bool(quantized) and not multi and (
-        jax.default_backend() != "cpu"
-        or os.environ.get("PYBADER_TPU_QROWS_CPU") == "1")
+        quantized = {"screened": "qs", "all": "q"}.get(qmode_env, False)
+    if quantized is True:
+        quantized = "q"
+    if quantized == "q" and jax.default_backend() == "cpu" and \
+            os.environ.get("PYBADER_TPU_QROWS_CPU") != "1":
+        quantized = False
+    if multi:
+        quantized = False
+    rows_kind = quantized or "exact"
 
-    def _build_rows(bk_grid, parent_grid=None):
-        if quantized:
+    def _build_rows(bk_grid, parent_grid=None, exact=False):
+        if rows_kind != "exact" and not exact:
             return neargrid_ops.precompute_qrows(
                 reference, bk_grid, t_grad, strict_grad=True)
         if parent_grid is None:
@@ -482,12 +499,20 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         walk_fields = carry_in["fields"]
         known = carry_in["known"]
         starts_small = carry_in.get("starts_small")
+        exact_rows_in = carry_in.get("fields_exact")
         if walk_fields is not None and (
-                neargrid_ops.is_qrows(walk_fields) != quantized):
+                neargrid_ops.is_qrows(walk_fields)
+                != (rows_kind != "exact")):
             # row-format boundary (quantised internal hybrid -> exact
-            # user refinement): free the old rows, rebuild in this
-            # call's format from the carried step codes
-            carry_in["fields"] = walk_fields = None
+            # user refinement or vice versa): free the old rows, rebuild
+            # in this call's format from the carried step codes
+            if rows_kind == "exact" and neargrid_ops.is_qrows(walk_fields) \
+                    and exact_rows_in is not None:
+                walk_fields = exact_rows_in
+                exact_rows_in = None
+                carry_in["fields"] = carry_in["fields_exact"] = None
+            else:
+                carry_in["fields"] = walk_fields = None
         if walk_fields is None and not multi:
             walk_fields = _build_rows(bk)
     else:
@@ -507,6 +532,22 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
 
         known = edges_ops.edge_find(reference, labels, is_max)
         starts_small = None  # small candidate list, 'changed' fast path
+        exact_rows_in = None
+    # lazy exact-row builder for the screened walk's risky re-walks:
+    # built at most once per call (carried across calls), stop bits
+    # re-baked per iteration on demand
+    _exact = {"rows": exact_rows_in, "iter": -1}
+    _cur_iter = {"it": 0}
+
+    def _exact_fields():
+        if _exact["rows"] is None:
+            _exact["rows"] = _build_rows(bk, exact=True)
+        if _exact["iter"] != _cur_iter["it"]:
+            _exact["rows"] = neargrid_ops.update_stop(
+                _exact["rows"], (known == 2).reshape(-1))
+            _exact["iter"] = _cur_iter["it"]
+        return _exact["rows"]
+
     total_changed = 0
     converged = False
     detail = None
@@ -586,6 +627,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
         if multi:
             from pybader_tpu.parallel.walk import walk_sharded
 
+            n_risky = 0
             pos, done = walk_sharded(
                 mesh, starts_dev_padded, reference, parent, known == 2,
                 t_grad, strict_grad=True, max_steps=cap,
@@ -602,25 +644,36 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 wkw["progress"] = lambda s, alive: progress(
                     f"iteration {it}: step {s}, {alive}/{n_edges} edges "
                     f"walking")
+            _cur_iter["it"] = it
+            wstat = {} if rows_kind == "qs" else None
+
+            def _one_walk(sub_starts):
+                if rows_kind == "qs":
+                    return neargrid_ops.walk_drain_screened(
+                        sub_starts, t_grad, shape, walk_fields,
+                        _exact_fields, strict_grad=True, max_steps=cap,
+                        stats=wstat, **wkw)
+                return neargrid_ops.walk_drain(
+                    sub_starts, None, None, None, t_grad, shape,
+                    strict_grad=True, max_steps=cap,
+                    fields=walk_fields, **wkw)
+
             # bound per-walk state: 512^3-class edge sets (13M+) next to
             # the 4.3 GB rows buffer exceed HBM if walked in one bucket
             chunk_cap = _WALK_CHUNK_CAP
             if size > chunk_cap:
                 parts = []
+                n_risky = 0
                 for lo2 in range(0, size, chunk_cap):
-                    parts.append(neargrid_ops.walk_drain(
-                        starts_dev_padded[lo2:lo2 + chunk_cap],
-                        None, None, None, t_grad, shape,
-                        strict_grad=True, max_steps=cap,
-                        fields=walk_fields, **wkw))
+                    parts.append(_one_walk(
+                        starts_dev_padded[lo2:lo2 + chunk_cap]))
+                    if wstat is not None:
+                        n_risky += wstat.get("risky", 0)
                 pos = jnp.concatenate([p for p, _ in parts])
                 done = jnp.concatenate([d for _, d in parts])
             else:
-                pos, done = neargrid_ops.walk_drain(
-                    starts_dev_padded, None, None, None,
-                    t_grad, shape, strict_grad=True, max_steps=cap,
-                    fields=walk_fields, **wkw,
-                )
+                pos, done = _one_walk(starts_dev_padded)
+                n_risky = 0 if wstat is None else wstat.get("risky", 0)
         if d_st is not None:
             _t_st = _mark(d_st, "walk", _t_st, pos)
         # padding lanes are born done, so the full-width sum equals the
@@ -659,12 +712,14 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             _t_st = _mark(d_st, "apply", _t_st)
         total_changed += changed
         if stats is not None:
-            # (edges walked, changed, step-cap fires, iteration seconds) —
-            # the int(changed_dev) fetch above synced the device, so the
-            # wall split is accurate without extra syncs
+            # (edges walked, changed, step-cap fires, screened-walk risky
+            # re-walk lanes, iteration seconds) — the int(changed_dev)
+            # fetch above synced the device, so the wall split is
+            # accurate without extra syncs
             _now = _time.perf_counter()
             stats["iterations"].append(
-                (n_edges, changed, n_capped, round(_now - _t_iter, 3)))
+                (n_edges, changed, n_capped, n_risky,
+                 round(_now - _t_iter, 3)))
             _t_iter = _now
         if verbose:
             print(f"  {changed} points changed.")
@@ -712,6 +767,7 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             carry_out.update(
                 known=known, starts_small=starts_small, bk=bk,
                 is_max=is_max, fields=walk_fields,
+                fields_exact=_exact["rows"],
             )
     return labels, total_changed
 
