@@ -103,6 +103,75 @@ def test_update_stop_q_rebake():
                                   np.asarray(fresh[:, 1]) & mask)
 
 
+def test_screen_flags_near_threshold_decisions():
+    """The exactness screen must FIRE when a rounding decision sits
+    within the error bound of the 0.5 threshold (not pass vacuously)."""
+    import jax
+
+    shape = (8, 8, 8)
+    n = 8 * 8 * 8
+    # hand-built rows: voxel 0 steps with g = (0.49999, 0, 0) — within
+    # 1.7e-5 of the +0.5 threshold; its target voxel is a maximum.
+    q_near = int(round(0.49999 * ng._Q_SCALE))
+    w0 = np.zeros(n, np.int32)
+    w1 = np.zeros(n, np.int32)
+    w0[0] = q_near & 0xFFFF  # g0 ~ 0.49999, g1 = g2 = 0
+    w1[:] = (13 << ng._CODE_SHIFT)  # self ongrid code everywhere
+    w1 |= np.asarray(ng._MAX_BIT)  # every voxel a maximum...
+    w1[0] &= ~np.asarray(ng._MAX_BIT)  # ...except the start
+    qrows = jnp.asarray(np.stack([w0, w1], axis=1))
+    starts = jnp.asarray(np.array([0] + [-1] * 63, np.int32))
+    state = ng._init_state(starts, jnp.float32, screened=True)
+    out = ng._walk_segment_qs(state, qrows, shape, 4)
+    assert bool(out[6][0]), "near-threshold decision did not flag risky"
+
+    # same construction with a comfortable margin must NOT flag
+    w0b = w0.copy()
+    w0b[0] = int(round(0.4 * ng._Q_SCALE)) & 0xFFFF
+    qrows_b = jnp.asarray(np.stack([w0b, w1], axis=1))
+    out_b = ng._walk_segment_qs(state, qrows_b, shape, 4)
+    assert not bool(out_b[6][0]), "far-margin decision flagged risky"
+    del jax
+
+
+def test_screened_rewalk_merge_path(monkeypatch):
+    """With the error bound blown up, EVERY lane flags risky and the
+    re-walk-on-exact-rows merge must reproduce the pure exact walk."""
+    rho, w, tg = _setup(4)
+    bk = ongrid_step_codes(jnp.asarray(rho), w)
+    qrows = ng.precompute_qrows(jnp.asarray(rho), bk, jnp.asarray(tg),
+                                strict_grad=True)
+    frows = _dequantized_f32_rows(qrows, bk)
+    n = int(np.prod(SHAPE))
+    rng = np.random.default_rng(9)
+    starts = rng.choice(n, size=2000, replace=False).astype(np.int32)
+    padded = jnp.asarray(ng.pad_starts(starts))
+    stop = np.zeros(n, dtype=bool)
+    stop[rng.choice(n, size=n // 30, replace=False)] = True
+    stop[starts] = False
+    stop_dev = jnp.asarray(stop)
+    q_baked = ng.update_stop_q(qrows, stop_dev)
+    f_baked = ng.update_stop(frows, stop_dev)
+
+    monkeypatch.setattr(ng, "_QS_EPS", jnp.float32(10.0))
+    # _QS_EPS is baked into traces: drop any cached compilations
+    ng._walk_segment_qs.clear_cache()
+    ng._walk_segment_counted_qs.clear_cache()
+    stats = {}
+    pos_s, done_s = ng.walk_drain_screened(
+        padded, jnp.asarray(tg), SHAPE, q_baked,
+        lambda: f_baked, strict_grad=True, stats=stats)
+    assert stats["risky"] >= len(starts) - 1, stats
+    pos_f, done_f = ng.walk_drain(
+        padded, None, None, None, jnp.asarray(tg), SHAPE,
+        strict_grad=True, fields=f_baked)
+    np.testing.assert_array_equal(np.asarray(pos_s), np.asarray(pos_f))
+    np.testing.assert_array_equal(np.asarray(done_s), np.asarray(done_f))
+    # drop the blown-up-eps compilations so later tests retrace clean
+    ng._walk_segment_qs.clear_cache()
+    ng._walk_segment_counted_qs.clear_cache()
+
+
 def test_refine_quantized_close_to_exact(monkeypatch):
     """Pipeline-level: quantised refinement deviates from exact f32/f64
     refinement only at knife-edge voxels (rare on a generic field)."""
