@@ -97,22 +97,24 @@ def _set_col(rows, col, j: int):
 
 
 def _rows_dtype(n: int):
-    """Walk-operand row dtype policy.
+    """Walk-operand row dtype policy: f64 everywhere.
 
-    f32 rows on TPU: the row gather is the walker's unit cost and is
-    BYTE-bound (measured ~1.26 GB/s effective whatever the layout:
-    f64x4 39M rows/s, f32x4 79M rows/s at 16M lanes, with the fixed
-    per-gather floor also 3x lower) — halving the row halves the walk.
-    The f32 ``g`` quantises the step thresholds once at precompute
-    (|err| ~1e-7 of the inf-normalised gradient) and ``dr`` accumulates
-    in f32 (~1e-8/step), so only trajectories within ~1e-7 of a 0.5
-    rounding boundary can differ from the f64 walk — numerical knife
-    edges with no physical meaning, measured at a handful of voxels per
-    million on the dense bench field (tpu_tests).  CPU (the oracle-
-    parity test path) and grids too large for the bitcast-packed parent
-    word (>= 2^28 voxels) keep exact f64 rows.
+    The round-4 gather probes (_exp/qrow_probe.py) showed the row gather
+    runs at a flat ~37-42M rows/s on v5e INDEPENDENT of row bytes
+    (16B/8B/4B identical within 10%) and of lane count (2M-32M) — the
+    walk is bound by the serialized dependent-gather chain, not by
+    bytes.  Round 3's byte-bound model (79M rows/s for f32x4 at 16M
+    lanes) did not reproduce.  With zero gather cost for width, exact
+    rows are f64: the walk is then bit-exact to the f64 oracle
+    semantics, retiring the round-3 f32 knife-edge deviation (~5
+    flipped labels per million voxels).  Bulk walking happens on the
+    8-byte quantised rows under the exactness screen anyway; these
+    exact rows only serve the rare risky re-walks.
+    PYBADER_TPU_F32_ROWS=1 restores the old f32 policy for A/B runs
+    (HBM: f64 rows are 32 B/voxel — 4.3 GB at 512^3).
     """
-    if jax.default_backend() != "cpu" and n < (1 << 28):
+    if jax.default_backend() != "cpu" and n < (1 << 28) and \
+            __import__("os").environ.get("PYBADER_TPU_F32_ROWS") == "1":
         return jnp.float32
     return jnp.float64
 

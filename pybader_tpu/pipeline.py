@@ -346,8 +346,26 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     parent, bk = _parent_and_codes(reference, vac, weights)
     roots_flat = None  # computed lazily, only if a trajectory hits the cap
     t_grad = jnp.asarray(t_grad)
-    rows = neargrid_ops.precompute_rows(
-        reference, parent, t_grad, strict_grad=False)
+    import os
+
+    # full-trajectory walks also ride the screened quantised rows by
+    # default (bit-identical to exact-row walking, ~half the gather
+    # bytes); the exact rows build lazily for the risky re-walks only
+    use_q = os.environ.get("PYBADER_TPU_QROWS", "screened") != "off"
+    _ex = {"rows": None}
+
+    def _exact_rows():
+        if _ex["rows"] is None:
+            _ex["rows"] = neargrid_ops.precompute_rows(
+                reference, parent, t_grad, strict_grad=False)
+        return _ex["rows"]
+
+    if use_q:
+        qrows = neargrid_ops.precompute_qrows(
+            reference, bk, t_grad, strict_grad=False)
+    else:
+        qrows = None
+        _exact_rows()
 
     vac_h = None if vac is None else np.asarray(vac).reshape(-1)
     final = np.arange(n, dtype=np.int32)
@@ -365,10 +383,17 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
                 f"{alive} walking")
         chunk = starts_all[lo:lo + batch]
         padded = neargrid_ops.pad_starts(chunk)
-        pos, done = neargrid_ops.walk_drain(
-            jnp.asarray(padded), None, None, None, t_grad,
-            shape, strict_grad=False, progress=tick, fields=rows,
-        )
+        if use_q:
+            pos, done = neargrid_ops.walk_drain_screened(
+                jnp.asarray(padded), t_grad, shape, qrows, _exact_rows,
+                strict_grad=False, progress=tick,
+            )
+        else:
+            pos, done = neargrid_ops.walk_drain(
+                jnp.asarray(padded), None, None, None, t_grad,
+                shape, strict_grad=False, progress=tick,
+                fields=_ex["rows"],
+            )
         # step-cap stragglers resolve through their ongrid root (a maximum)
         if not bool(jnp.all(done)):
             if roots_flat is None:
