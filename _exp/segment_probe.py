@@ -54,11 +54,13 @@ def main():
 
     # qrows with NO max/stop/ongrid bits: every lane takes the gradient
     # path every step and never finishes — steady-state stepping rate.
-    q = rng.integers(-32000, 32000, size=(n, 3)).astype(np.int32)
+    # (19-bit layout, mirrors ng._pack_qwords)
+    q = rng.integers(-260000, 260000, size=(n, 3)).astype(np.int32)
     code = rng.integers(0, 27, size=n).astype(np.int32)
     code = np.where(code == 13, 12, code)
-    word0 = (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
-    word1 = (q[:, 2] & 0xFFFF) | (code << 16)
+    word0 = (q[:, 0] & 0x7FFFF) | ((q[:, 1] & 0x1FFF) << 19)
+    word1 = ((q[:, 1] & 0x7FFFF) >> 13) | ((q[:, 2] & 0x7FFFF) << 6) \
+        | (code << 25)
     qrows = jnp.asarray(np.stack([word0, word1], axis=1))
 
     starts = jnp.asarray(rng.integers(0, n, size=k), jnp.int32)
@@ -96,20 +98,19 @@ def main():
     def unflat(p):
         return jnp.stack([p // (ny * nz), (p // nz) % ny, p % nz], axis=-1)
 
-    def fetch(pos):
+    def fetch(qrows, pos):
         row = jnp.take(qrows, pos, axis=0, mode="clip")
         w0, w1 = row[:, 0], row[:, 1]
-        g = jnp.stack(
-            [ng._q_of(w0, 0), ng._q_of(w0, 1), ng._q_of(w1, 0)], axis=-1
-        ).astype(jnp.float32) * jnp.float32(1.0 / ng._Q_SCALE)
-        code = (w1 >> ng._CODE_SHIFT) & ng._CODE_MASK
+        g = jnp.stack(ng._q_decode(w0, w1), axis=-1).astype(
+            jnp.float32) * jnp.float32(1.0 / ng._Q_SCALE)
+        code = (w1 >> ng._Q_CODE_SHIFT) & ng._CODE_MASK
         return g, code
 
     @partial(jax.jit, static_argnames=())
-    def seg_nohist(pos, prev, dr):
+    def seg_nohist(qrows, pos, prev, dr):
         def body(i, carry):
             pos, prev, dr = carry
-            g, code = fetch(pos)
+            g, code = fetch(qrows, pos)
             xyz = unflat(pos)
             og_off = jnp.stack(
                 [code // 9 - 1, (code // 3) % 3 - 1, code % 3 - 1], axis=-1)
@@ -127,17 +128,17 @@ def main():
 
     prev0 = jnp.full_like(starts, -1)
     dr0 = jnp.zeros((k, 3), jnp.float32)
-    t = timeit(lambda: seg_nohist(starts, prev0, dr0))
+    t = timeit(lambda: seg_nohist(qrows, starts, prev0, dr0))
     print(f"no-hist   : {t:6.3f}s = {k * steps / t / 1e6:6.1f}M lane-steps/s",
           flush=True)
 
     @partial(jax.jit, static_argnames=())
-    def seg_xyz(xyz, prevf, dr):
+    def seg_xyz(qrows, xyz, prevf, dr):
         # carry xyz; no unflat per step
         def body(i, carry):
             xyz, prevf, dr = carry
             pos = flat(xyz)
-            g, code = fetch(pos)
+            g, code = fetch(qrows, pos)
             og_off = jnp.stack(
                 [code // 9 - 1, (code // 3) % 3 - 1, code % 3 - 1], axis=-1)
             int_grad = ng._round_away(g)
@@ -155,12 +156,12 @@ def main():
 
     xyz0 = jnp.stack([starts // (ny * nz), (starts // nz) % ny,
                       starts % nz], axis=-1)
-    t = timeit(lambda: seg_xyz(xyz0, prev0, dr0))
+    t = timeit(lambda: seg_xyz(qrows, xyz0, prev0, dr0))
     print(f"xyz-carry : {t:6.3f}s = {k * steps / t / 1e6:6.1f}M lane-steps/s",
           flush=True)
 
     @partial(jax.jit, static_argnames=())
-    def seg_bare(pos):
+    def seg_bare(qrows, pos):
         # chain-probe-shaped body on the same table
         def body(i, carry):
             pos, acc = carry
@@ -172,7 +173,7 @@ def main():
         return jax.lax.fori_loop(0, steps, body,
                                  (pos, jnp.zeros((), jnp.float32)))
 
-    t = timeit(lambda: seg_bare(starts))
+    t = timeit(lambda: seg_bare(qrows, starts))
     print(f"bare      : {t:6.3f}s = {k * steps / t / 1e6:6.1f}M lane-steps/s",
           flush=True)
 

@@ -138,19 +138,22 @@ def _set_packed_col(rows, packed):
 _store_packed = jax.jit(_set_packed_col, donate_argnums=(0,))
 
 # ---------------------------------------------------------------------------
-# Quantised 8-byte rows (internal-iteration fast path)
+# Quantised 8-byte rows (the bulk-walking fast path)
 #
-# The row gather is BYTE-bound (BASELINE.md: ~1.26 GB/s effective whatever
-# the layout), so packing the walk operand into two int32 words doubles the
-# walk rate.  Layout:
+# Packing the walk operand into two int32 words halves the row bytes and,
+# more importantly, lets the screened walk prove most lanes exact.  19-bit
+# layout (the MAX flag is redundant with code == 13, freeing 3 extra bits
+# per component over the original int16 packing):
 #
-#   word0 = q0[0:16) | q1[16:32)          int16 fixed-point gradient
-#   word1 = q2[0:16) | code[16:21)        ongrid step code (OFFSETS order,
-#           | ONGRID(28) MAX(29) STOP(30)  13 == self == maximum)
+#   word0 = q0[0:19) | q1_lo[19:32)
+#   word1 = q1_hi[0:6) | q2[6:25) | code[25:30)   ongrid step code (OFFSETS
+#           | ONGRID(30) STOP(31=sign)            order, 13 == self == max)
 #
-# with q_i = round(g_i * 32767) of the inf-normalised transformed gradient
-# (|g_i| <= 1 by construction).  Quantisation error <= 1.5e-5 per component
-# per step.  Two usage modes:
+# with q_i = round(g_i * 262143) of the inf-normalised transformed gradient
+# (|g_i| <= 1 by construction).  Quantisation error <= 1.91e-6 per
+# component per step (the int16 packing's 1.53e-5 flagged ~10% of
+# 384^3-class refinement lanes risky; 19 bits cuts that ~8x).  Two usage
+# modes:
 #
 #   SCREENED (:func:`_walk_segment_qs` + :func:`walk_drain_screened`, the
 #   pipeline default): every rounding decision is checked against a sound
@@ -158,27 +161,29 @@ _store_packed = jax.jit(_set_packed_col, donate_argnums=(0,))
 #   are bit-identical to exact-row walking — safe for user-visible
 #   refinement.
 #
-#   UNSCREENED (:func:`_walk_segment_q`): BASELINE.md's knife-edge scaling
-#   projects ~0.1% flipped watershed voxels vs the f32 walk — acceptable
-#   only for the hybrid's internal iterations (approximation machinery
-#   whose changed voxels are re-walked by later exact iterations),
-#   opt-in via PYBADER_TPU_QROWS=internal|all.
+#   UNSCREENED (:func:`_walk_segment_q`): knife-edge-only deviations vs
+#   the exact walk — acceptable for the hybrid's internal iterations
+#   (approximation machinery whose changed voxels are re-walked by later
+#   exact iterations), opt-in via PYBADER_TPU_QROWS=internal|all.
 #
 # The ongrid fallback target is a 5-bit neighbour code instead of a flat
 # index, so the packed word no longer bounds the grid at 2^28 voxels —
 # the q-walker works at any int32-addressable grid.
 # ---------------------------------------------------------------------------
 
-_Q_SCALE = 32767.0
-_CODE_SHIFT = 16
+_Q_SCALE = 262143.0  # 2^18 - 1
+_Q_CODE_SHIFT = 25
 _CODE_MASK = jnp.int32(31)
+_Q_ONGRID_BIT = jnp.int32(1 << 30)
+_Q_STOP_BIT = jnp.int32(-(1 << 31))  # sign bit
 
 
-def _q_of(word, half: int):
-    """Sign-extended int16 half of an int32 word (0 = low, 1 = high)."""
-    if half == 0:
-        return (word << 16) >> 16  # arithmetic shift sign-extends
-    return word >> 16
+def _q_decode(w0, w1):
+    """(g0, g1, g2) sign-extended 19-bit fields of the packed words."""
+    q0 = (w0 << 13) >> 13  # arithmetic shift sign-extends
+    q1 = ((((w0 >> 19) & 0x1FFF) | ((w1 & 0x3F) << 13)) << 13) >> 13
+    q2 = (w1 << 7) >> 13
+    return q0, q1, q2
 
 
 def precompute_qrows(reference, bk, t_grad, strict_grad: bool):
@@ -209,17 +214,18 @@ def _quantize_col(col):
 @jax.jit
 def _pack_qwords(q0, q1, q2, bk_flat, use_ongrid):
     # no donation: (N,) columns cannot alias the stacked (N,2) output
-    word0 = (q0 & 0xFFFF) | (q1 << 16)
-    word1 = (q2 & 0xFFFF) | (bk_flat.astype(jnp.int32) << _CODE_SHIFT)
-    word1 = word1 | jnp.where(use_ongrid, _ONGRID_BIT, 0)
-    word1 = word1 | jnp.where(bk_flat == jnp.uint8(13), _MAX_BIT, 0)
+    word0 = (q0 & 0x7FFFF) | ((q1 & 0x1FFF) << 19)
+    word1 = ((q1 & 0x7FFFF) >> 13) | ((q2 & 0x7FFFF) << 6) \
+        | (bk_flat.astype(jnp.int32) << _Q_CODE_SHIFT)
+    word1 = word1 | jnp.where(use_ongrid, _Q_ONGRID_BIT, 0)
     return jnp.stack([word0, word1], axis=1)
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def update_stop_q(qrows, stop_flat):
     """Re-bake the stop set into quantised rows, in place (donated)."""
-    w1 = (qrows[:, 1] & ~_STOP_BIT) | jnp.where(stop_flat, _STOP_BIT, 0)
+    w1 = (qrows[:, 1] & jnp.int32(0x7FFFFFFF)) \
+        | jnp.where(stop_flat, _Q_STOP_BIT, 0)
     return qrows.at[:, 1].set(w1)
 
 
@@ -246,12 +252,11 @@ def _walk_segment_q(state, qrows, shape: tuple, max_steps,
     def fetch(pos, done):
         row = jnp.take(qrows, pos, axis=0, mode="clip")  # (K, 2)
         w0, w1 = row[:, 0], row[:, 1]
-        done = done | ((w1 & (_MAX_BIT | _STOP_BIT)) != 0)
-        g = jnp.stack(
-            [_q_of(w0, 0), _q_of(w0, 1), _q_of(w1, 0)], axis=-1
-        ).astype(jnp.float32) * jnp.float32(1.0 / _Q_SCALE)
-        code = (w1 >> _CODE_SHIFT) & _CODE_MASK
-        return done, g, code, (w1 & _ONGRID_BIT) != 0
+        code = (w1 >> _Q_CODE_SHIFT) & _CODE_MASK
+        done = done | (w1 < 0) | (code == 13)  # STOP sign bit / maximum
+        g = jnp.stack(_q_decode(w0, w1), axis=-1).astype(
+            jnp.float32) * jnp.float32(1.0 / _Q_SCALE)
+        return done, g, code, (w1 & _Q_ONGRID_BIT) != 0
 
     limit = jnp.asarray(max_steps, jnp.int32)
 
@@ -308,11 +313,12 @@ def _walk_segment_counted_q(state, qrows, shape: tuple, max_steps,
 
 
 # Per-decision error bound for the SCREENED quantised walk: quantisation
-# round-off (0.5/32767 = 1.526e-5) + dequantise/accumulate f32 rounding
-# headroom.  Sound per component per step; dr's bound accumulates since
-# the last reset (ongrid fallback / revisit zeroes dr exactly on both row
-# formats).
-_QS_EPS = jnp.float32(1.7e-5)
+# round-off (0.5/262143 = 1.907e-6) + dequantise/accumulate f32 rounding
+# headroom (~2.5e-7: one division rounding on |g|<=1 plus two f32 adds on
+# |dr|<=1.5 per step).  Sound per component per step; dr's bound
+# accumulates since the last reset (ongrid fallback / revisit zeroes dr
+# exactly on both row formats).
+_QS_EPS = jnp.float32(2.2e-6)
 
 
 @partial(jax.jit, static_argnames=("shape", "early_exit"))
@@ -344,12 +350,11 @@ def _walk_segment_qs(state, qrows, shape: tuple, max_steps,
     def fetch(pos, done):
         row = jnp.take(qrows, pos, axis=0, mode="clip")  # (K, 2)
         w0, w1 = row[:, 0], row[:, 1]
-        done = done | ((w1 & (_MAX_BIT | _STOP_BIT)) != 0)
-        g = jnp.stack(
-            [_q_of(w0, 0), _q_of(w0, 1), _q_of(w1, 0)], axis=-1
-        ).astype(jnp.float32) * jnp.float32(1.0 / _Q_SCALE)
-        code = (w1 >> _CODE_SHIFT) & _CODE_MASK
-        return done, g, code, (w1 & _ONGRID_BIT) != 0
+        code = (w1 >> _Q_CODE_SHIFT) & _CODE_MASK
+        done = done | (w1 < 0) | (code == 13)  # STOP sign bit / maximum
+        g = jnp.stack(_q_decode(w0, w1), axis=-1).astype(
+            jnp.float32) * jnp.float32(1.0 / _Q_SCALE)
+        return done, g, code, (w1 & _Q_ONGRID_BIT) != 0
 
     limit = jnp.asarray(max_steps, jnp.int32)
 
@@ -839,9 +844,12 @@ def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
 _LANE_STEP_BUDGET = 300_000_000
 # boundary cost model for the adaptive count-fetch pipeline (walk_drain):
 # measured v5e row-gather rate and count-fetch round trip through the
-# axon tunnel; env-overridable for other hosts
+# axon tunnel; env-overridable for other hosts.  The rate is FLAT in row
+# bytes (the walk is bound by the serialized dependent-gather chain, one
+# gather per step ~91M lane-steps/s — _exp/chain_probe.py; the shipping
+# segment functions measure 88-90M at 4M lanes, _exp/segment_probe.py)
 _GATHER_RATE = float(__import__("os").environ.get(
-    "PYBADER_TPU_GATHER_RATE", 79e6))
+    "PYBADER_TPU_GATHER_RATE", 90e6))
 _COUNT_RTT = float(__import__("os").environ.get(
     "PYBADER_TPU_COUNT_RTT", 0.035))  # _exp/dispatch_probe.py: ~30 ms
 # order live lanes by grid position at compaction boundaries (gather
@@ -916,11 +924,11 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
         seg_fn = _walk_segment_counted_qs
     else:
         seg_fn = _walk_segment_counted_q if qmode else _walk_segment_counted
-    # the gather is byte-bound: scale the measured 16-byte-row rate and
-    # the per-program lane-step budget by the actual row width
-    row_bytes = rows.shape[-1] * rows.dtype.itemsize
-    gather_rate = _GATHER_RATE * 16.0 / row_bytes
-    step_budget = int(_LANE_STEP_BUDGET * 16 // row_bytes)
+    # the gather rate is FLAT in row bytes (dependent-chain-bound, see
+    # _GATHER_RATE note), so neither the boundary cost model nor the
+    # per-program lane-step budget scales with the row width
+    gather_rate = _GATHER_RATE
+    step_budget = _LANE_STEP_BUDGET
     k0 = int(starts.shape[0])
     state = _init_state(starts, jnp.float32 if qmode else rows.dtype,
                         screened=screened)

@@ -33,11 +33,15 @@ def _dequantized_f32_rows(qrows, bk):
     """
     w0 = np.asarray(qrows[:, 0])
     w1 = np.asarray(qrows[:, 1])
-    q = np.stack([(w0 << 16) >> 16, w0 >> 16, (w1 << 16) >> 16], axis=1)
+    # 19-bit layout decode (mirrors ng._q_decode)
+    q0 = (w0 << 13) >> 13
+    q1 = ((((w0 >> 19) & 0x1FFF) | ((w1 & 0x3F) << 13)) << 13) >> 13
+    q2 = (w1 << 7) >> 13
+    q = np.stack([q0, q1, q2], axis=1)
     # match the in-kernel dequantisation op-for-op
     gcols = q.astype(np.float32) * np.float32(1.0 / ng._Q_SCALE)
     parent_flat = np.asarray(parent_from_step_codes(bk)).reshape(-1)
-    use_ongrid = (w1 & np.int32(1 << 28)) != 0
+    use_ongrid = (w1 & np.int32(1 << 30)) != 0
     self_idx = np.arange(parent_flat.shape[0], dtype=np.int32)
     packed = parent_flat.astype(np.int32)
     packed = packed | np.where(use_ongrid, np.int32(1 << 28), 0)
@@ -91,14 +95,14 @@ def test_update_stop_q_rebake():
     qa = ng.update_stop_q(qrows, stop_a)
     qb = ng.update_stop_q(qa, stop_b)
     w1 = np.asarray(qb[:, 1])
-    got_stop = (w1 & np.int32(1 << 30)) != 0
+    got_stop = w1 < 0  # STOP rides the sign bit
     np.testing.assert_array_equal(got_stop, np.asarray(stop_b))
     # the quantised payload survives both rebakes
     fresh = ng.precompute_qrows(jnp.asarray(rho), bk, jnp.asarray(tg),
                                 strict_grad=True)
     np.testing.assert_array_equal(np.asarray(qb[:, 0]),
                                   np.asarray(fresh[:, 0]))
-    mask = np.int32(~(1 << 30))
+    mask = np.int32(0x7FFFFFFF)
     np.testing.assert_array_equal(w1 & mask,
                                   np.asarray(fresh[:, 1]) & mask)
 
@@ -110,15 +114,15 @@ def test_screen_flags_near_threshold_decisions():
 
     shape = (8, 8, 8)
     n = 8 * 8 * 8
-    # hand-built rows: voxel 0 steps with g = (0.49999, 0, 0) — within
-    # 1.7e-5 of the +0.5 threshold; its target voxel is a maximum.
-    q_near = int(round(0.49999 * ng._Q_SCALE))
+    # hand-built rows: voxel 0 steps with g dequantising to 0.4999981 —
+    # within 2.2e-6 of the +0.5 threshold; every other voxel is a
+    # maximum (code 13), so the walk ends on its next step.
+    q_near = int(ng._Q_SCALE) // 2  # 131071 -> 0.49999809...
     w0 = np.zeros(n, np.int32)
     w1 = np.zeros(n, np.int32)
-    w0[0] = q_near & 0xFFFF  # g0 ~ 0.49999, g1 = g2 = 0
-    w1[:] = (13 << ng._CODE_SHIFT)  # self ongrid code everywhere
-    w1 |= np.asarray(ng._MAX_BIT)  # every voxel a maximum...
-    w1[0] &= ~np.asarray(ng._MAX_BIT)  # ...except the start
+    w0[0] = q_near & 0x7FFFF  # g0 ~ 0.5 - 1.9e-6, g1 = g2 = 0
+    w1[:] = np.int32(13 << ng._Q_CODE_SHIFT)  # code 13 == maximum...
+    w1[0] = np.int32(12 << ng._Q_CODE_SHIFT)  # ...except the start
     qrows = jnp.asarray(np.stack([w0, w1], axis=1))
     starts = jnp.asarray(np.array([0] + [-1] * 63, np.int32))
     state = ng._init_state(starts, jnp.float32, screened=True)
@@ -127,7 +131,7 @@ def test_screen_flags_near_threshold_decisions():
 
     # same construction with a comfortable margin must NOT flag
     w0b = w0.copy()
-    w0b[0] = int(round(0.4 * ng._Q_SCALE)) & 0xFFFF
+    w0b[0] = int(round(0.4 * ng._Q_SCALE)) & 0x7FFFF
     qrows_b = jnp.asarray(np.stack([w0b, w1], axis=1))
     out_b = ng._walk_segment_qs(state, qrows_b, shape, 4)
     assert not bool(out_b[6][0]), "far-margin decision flagged risky"
