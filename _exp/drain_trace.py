@@ -27,6 +27,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--qrows", action="store_true",
+                    help="walk the shipping screened quantised-row path")
     args = ap.parse_args()
 
     from bench import _enable_cache, _sync_scalar, synthetic_density_device
@@ -60,17 +62,38 @@ def main():
     print(f"{size}^3: {len(maxima)} basins, {n_edges} edges "
           f"(bucket {bucket}, {n_edges / bucket:.0%} occupied)")
 
-    rows = neargrid_ops.precompute_rows(rho, parent, tg, strict_grad=True)
-    rows = neargrid_ops.update_stop(rows, (known == 2).reshape(-1))
+    if args.qrows:
+        rows = neargrid_ops.precompute_qrows(rho, bk, tg, strict_grad=True)
+        rows = neargrid_ops.update_stop_q(rows, (known == 2).reshape(-1))
+        exact = {"rows": None}
+
+        def exact_fields():
+            if exact["rows"] is None:
+                exact["rows"] = neargrid_ops.update_stop(
+                    neargrid_ops.precompute_rows(
+                        rho, parent, tg, strict_grad=True),
+                    (known == 2).reshape(-1))
+            return exact["rows"]
+    else:
+        rows = neargrid_ops.precompute_rows(rho, parent, tg,
+                                            strict_grad=True)
+        rows = neargrid_ops.update_stop(rows, (known == 2).reshape(-1))
 
     for rep in range(args.reps):
         log = []
         t_start = time.perf_counter()
-        pos, done = neargrid_ops.walk_drain(
-            starts, None, None, None, tg, shape, strict_grad=True,
-            max_steps=192, fields=rows,
-            progress=lambda s, alive: log.append(
-                (time.perf_counter(), s, alive)))
+        if args.qrows:
+            pos, done = neargrid_ops.walk_drain_screened(
+                starts, tg, shape, rows, exact_fields, strict_grad=True,
+                max_steps=192,
+                progress=lambda s, alive: log.append(
+                    (time.perf_counter(), s, alive)))
+        else:
+            pos, done = neargrid_ops.walk_drain(
+                starts, None, None, None, tg, shape, strict_grad=True,
+                max_steps=192, fields=rows,
+                progress=lambda s, alive: log.append(
+                    (time.perf_counter(), s, alive)))
         n_done = int(jnp.sum(done))
         total = time.perf_counter() - t_start
         prev_t, prev_s, prev_alive = t_start, 0, n_edges

@@ -710,11 +710,58 @@ def _bucket_size(n: int, min_batch: int = 4096) -> int:
     return best
 
 
+def _pack_w(pos, done, risky=None):
+    """Pack a lane's walk result into one int32 word.
+
+    pos in bits [0:30) (any grid the int32 flat index addresses in
+    practice), done in the sign bit, risky (screened walks) at bit 30.
+    The drain loop records retired lanes in this packed form so each
+    compaction scatters ONE small word array instead of 2-3 full-bucket
+    arrays (the full-bucket scatter_back was ~90M scatter ops per
+    384^3 refinement iteration at the ~45M ops/s scatter rate — a
+    hidden ~2 s/iteration inside the walk stage)."""
+    w = pos | jnp.where(done, jnp.int32(-(1 << 31)), jnp.int32(0))
+    if risky is not None:
+        w = w | jnp.where(risky, jnp.int32(1 << 30), jnp.int32(0))
+    return w
+
+
+@jax.jit
+def _unpack_w(w):
+    return (w & jnp.int32((1 << 30) - 1), w < 0,
+            (w & jnp.int32(1 << 30)) != 0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_w(out_w, idx, w):
+    return out_w.at[idx].set(w, mode="drop")
+
+
+@partial(jax.jit, static_argnames=())
+def _map_pair(orig, kept, dropped):
+    """Compose per-compaction lane maps through the running orig map."""
+    return jnp.take(orig, kept), jnp.take(orig, dropped)
+
+
+@jax.jit
+def _final_w(state_pos, state_done):
+    return _pack_w(state_pos, state_done)
+
+
+@jax.jit
+def _final_w_s(state_pos, state_done, state_risky):
+    return _pack_w(state_pos, state_done, state_risky)
+
+
 @partial(jax.jit, static_argnames=("size", "sort_pos"))
 def _compact_state(state, size: int, sort_pos: bool = False):
     """Pack still-running lanes first and slice the batch to ``size``.
 
-    Returns (packed state, orig (size,) original lane indices, n_alive).
+    Returns (packed state, kept (size,) original lane indices,
+    dropped_w (K-size,) packed result words of the dropped lanes,
+    dropped (K-size,) their lane indices).  Dropped lanes are all done
+    (the bucket never shrinks below the live count), and their packed
+    word records the actual done bit either way.
     The argsort is stable, so lane order within alive/done groups is
     preserved (walk results are order-independent anyway).
 
@@ -743,22 +790,24 @@ def _compact_state(state, size: int, sort_pos: bool = False):
         order = jnp.argsort(key).astype(jnp.int32)  # alive first, by pos
     else:
         order = jnp.argsort(done, stable=True).astype(jnp.int32)  # alive 1st
-    orig = order[:size]
+    kept = order[:size]
+    dropped = order[size:]
+    dropped_w = jnp.take(_pack_w(pos, done), dropped)
     if dr.dtype == jnp.float32:
         posd = pos | jnp.where(done, jnp.int32(-(1 << 31)), jnp.int32(0))
         mat = jnp.concatenate(
             [posd[:, None], prev[:, None], hist,
              jax.lax.bitcast_convert_type(dr, jnp.int32)], axis=1)
-        sub = jnp.take(mat, orig, axis=0)
+        sub = jnp.take(mat, kept, axis=0)
         posd2 = sub[:, 0]
         done2 = posd2 < 0
         pos2 = posd2 & jnp.int32(0x7FFFFFFF)
         dr2 = jax.lax.bitcast_convert_type(sub[:, 5:8], jnp.float32)
         return ((pos2, sub[:, 1], sub[:, 2:5], dr2, done2),
-                orig, jnp.sum(~done))
-    take = lambda a: jnp.take(a, orig, axis=0)  # noqa: E731
+                kept, dropped_w, dropped)
+    take = lambda a: jnp.take(a, kept, axis=0)  # noqa: E731
     return ((take(pos), take(prev), take(hist), take(dr), take(done)),
-            orig, jnp.sum(~done))
+            kept, dropped_w, dropped)
 
 
 @partial(jax.jit, static_argnames=("size", "sort_pos"))
@@ -776,14 +825,15 @@ def _compact_state_s(state, size: int, sort_pos: bool = False):
         order = jnp.argsort(key).astype(jnp.int32)
     else:
         order = jnp.argsort(done, stable=True).astype(jnp.int32)
-    orig = order[:size]
-    posd = pos | jnp.where(done, jnp.int32(-(1 << 31)), jnp.int32(0)) \
-        | jnp.where(risky, jnp.int32(1 << 30), jnp.int32(0))
+    kept = order[:size]
+    dropped = order[size:]
+    posd = _pack_w(pos, done, risky)
+    dropped_w = jnp.take(posd, dropped)
     mat = jnp.concatenate(
         [posd[:, None], prev[:, None], hist,
          jax.lax.bitcast_convert_type(dr, jnp.int32),
          jax.lax.bitcast_convert_type(err, jnp.int32)[:, None]], axis=1)
-    sub = jnp.take(mat, orig, axis=0)
+    sub = jnp.take(mat, kept, axis=0)
     posd2 = sub[:, 0]
     done2 = posd2 < 0
     risky2 = (posd2 & (1 << 30)) != 0
@@ -791,18 +841,7 @@ def _compact_state_s(state, size: int, sort_pos: bool = False):
     dr2 = jax.lax.bitcast_convert_type(sub[:, 5:8], jnp.float32)
     err2 = jax.lax.bitcast_convert_type(sub[:, 8], jnp.float32)
     return ((pos2, sub[:, 1], sub[:, 2:5], dr2, done2, err2, risky2),
-            orig, jnp.sum(~done))
-
-
-@partial(jax.jit, static_argnames=())
-def _scatter_back(out_pos, out_done, orig, pos, done):
-    return out_pos.at[orig].set(pos), out_done.at[orig].set(done)
-
-
-@partial(jax.jit, static_argnames=())
-def _scatter_back_s(out_pos, out_done, out_risky, orig, pos, done, risky):
-    return (out_pos.at[orig].set(pos), out_done.at[orig].set(done),
-            out_risky.at[orig].set(risky))
+            kept, dropped_w, dropped)
 
 
 def walk(starts: jax.Array, rho_flat: jax.Array, parent_flat: jax.Array,
@@ -932,9 +971,12 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     k0 = int(starts.shape[0])
     state = _init_state(starts, jnp.float32 if qmode else rows.dtype,
                         screened=screened)
-    out_pos = state[0]
-    out_done = state[4]
-    out_risky = state[6] if screened else None
+    # retired-lane results, packed one int32 word per lane (_pack_w);
+    # allocated lazily on the first compaction.  Each shrink scatters
+    # ONLY the lanes it drops (all done), and the final bucket flushes
+    # once at the end — retired-lane bookkeeping costs O(k0) total
+    # random ops instead of O(sum of bucket sizes) full-bucket scatters.
+    out_w = None
     orig = None  # lane -> original index map once compacted
     size = k0
 
@@ -955,6 +997,29 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     # the early exit, so a post-zero speculative segment retires after
     # one device-side test rather than a full slice.  Once the live set
     # fits _TAIL_BUCKET lanes the rest of the walk is a single dispatch.
+    # PYBADER_TPU_DRAIN_TRACE=1: sync after every phase and print a
+    # per-phase wall split to stderr (instrumentation runs only — the
+    # syncs serialize the pipeline and add a tunnel round trip each)
+    trace = __import__("os").environ.get(
+        "PYBADER_TPU_DRAIN_TRACE") == "1"
+    if trace:
+        import sys as _sys
+        import time as _time
+
+        def _tsync(x):
+            v = x
+            while v.ndim > 1:
+                v = v[0]
+            float(v[:1].astype(jnp.float32)[0])
+
+        _tt = _time.perf_counter()
+
+        def _tmark(label):
+            nonlocal _tt
+            now = _time.perf_counter()
+            print(f"    [drain] {label}: {now - _tt:7.3f}s",
+                  file=_sys.stderr, flush=True)
+            _tt = now
     steps = 0
     seg_i = 0
     pending = None  # deferred count of the previous segment
@@ -972,11 +1037,19 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
         state, cnt = seg_fn(
             state, rows, shape, seg, early_exit=size <= _TAIL_BUCKET)
         steps += seg
+        if trace:
+            _tsync(state[0])
+            _tmark(f"seg  {size:>9d} lanes x {seg:>3d} steps "
+                   f"({size * seg / 1e6:6.1f}M)")
         lag_cost = size * max(0.0, 1.0 - ratio) * seg / gather_rate
+        if trace:
+            lag_cost = float("inf")  # always-fresh counts while tracing
         if lag_cost > _COUNT_RTT or steps >= max_steps:
             n_alive = int(cnt)  # fresh count; drop any deferred one
             pending = None
             at_steps = steps
+            if trace:
+                _tmark(f"count fetch ({n_alive} alive)")
         elif pending is None:
             pending = cnt  # defer: dispatch the next segment first
             continue
@@ -994,40 +1067,33 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
             break
         new_size = _bucket_size(n_alive, min_batch)
         if new_size < size and size > min_batch:
-            if screened:
-                if orig is not None:
-                    out_pos, out_done, out_risky = _scatter_back_s(
-                        out_pos, out_done, out_risky, orig,
-                        state[0], state[4], state[6])
-                else:
-                    out_pos, out_done, out_risky = \
-                        state[0], state[4], state[6]
-                packed, sub, _ = _compact_state_s(state, new_size,
-                                                  sort_pos=_SORT_COMPACT)
-            else:
-                if orig is not None:
-                    out_pos, out_done = _scatter_back(
-                        out_pos, out_done, orig, state[0], state[4])
-                else:
-                    out_pos, out_done = state[0], state[4]
-                packed, sub, _ = _compact_state(state, new_size,
-                                                sort_pos=_SORT_COMPACT)
-            orig = sub if orig is None else jnp.take(orig, sub)
+            compact = _compact_state_s if screened else _compact_state
+            packed, kept, dropped_w, dropped = compact(
+                state, new_size, sort_pos=_SORT_COMPACT)
+            if orig is not None:
+                kept, dropped = _map_pair(orig, kept, dropped)
+            if out_w is None:
+                out_w = jnp.zeros(k0, jnp.int32)
+            out_w = _scatter_w(out_w, dropped, dropped_w)
+            if trace:
+                _tsync(packed[0])
+                _tmark(f"compact {size:>9d} -> {new_size:>9d}")
+            orig = kept
             state = packed
             size = new_size
+    if orig is None:
+        # never compacted: the state itself holds every lane's result
+        if screened:
+            return state[0], state[4], state[6]
+        return state[0], state[4]
     if screened:
-        if orig is not None:
-            out_pos, out_done, out_risky = _scatter_back_s(
-                out_pos, out_done, out_risky, orig,
-                state[0], state[4], state[6])
-        else:
-            out_pos, out_done, out_risky = state[0], state[4], state[6]
-        return out_pos, out_done, out_risky
-    if orig is not None:
-        out_pos, out_done = _scatter_back(
-            out_pos, out_done, orig, state[0], state[4])
+        w_final = _final_w_s(state[0], state[4], state[6])
     else:
-        out_pos, out_done = state[0], state[4]
+        w_final = _final_w(state[0], state[4])
+    out_w = _scatter_w(out_w, orig, w_final)
+    out_pos, out_done, out_risky = _unpack_w(out_w)
+    if screened:
+        return out_pos, out_done, out_risky
     return out_pos, out_done
 
 

@@ -625,7 +625,10 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
             print(f"  Iteration {it}: refining {n_edges} edges")
         from pybader_tpu.ops.reductions import compact_indices
 
-        size = max(4096, 1 << (n_edges - 1).bit_length())
+        # same bucket ladder as the drain loop's compaction (a pow2-only
+        # initial bucket walked up to 14% padding through iteration 1's
+        # first segments, and its sizes were distinct programs anyway)
+        size = neargrid_ops._bucket_size(n_edges, 4096)
         if starts_small is not None:
             starts_dev_padded = _fit_starts(starts_small[0], size)
         else:

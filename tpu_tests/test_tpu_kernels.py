@@ -408,15 +408,20 @@ def test_packed_compaction_bit_exact():
     done[: k - size + 64] = True  # alive set fits the target bucket
     state = tuple(jnp.asarray(a) for a in (pos, prev, hist, dr, done))
     with jax.enable_x64(False):
-        packed, orig, _ = ng._compact_state(state, size)
-    orig_h = np.asarray(orig)
+        packed, kept, dropped_w, dropped = ng._compact_state(state, size)
+    kept_h = np.asarray(kept)
     for got, exp in zip(packed, (pos, prev, hist, dr, done)):
         got_h = np.asarray(got)
         if got_h.dtype == np.float32:
             np.testing.assert_array_equal(got_h.view(np.int32),
-                                          exp[orig_h].view(np.int32))
+                                          exp[kept_h].view(np.int32))
         else:
-            np.testing.assert_array_equal(got_h, exp[orig_h])
+            np.testing.assert_array_equal(got_h, exp[kept_h])
+    # dropped lanes: packed result words must carry pos and done exactly
+    drop_h = np.asarray(dropped)
+    w_h = np.asarray(dropped_w)
+    np.testing.assert_array_equal(w_h & ((1 << 30) - 1), pos[drop_h])
+    np.testing.assert_array_equal(w_h < 0, done[drop_h])
 
 
 def test_walk_drain_schedule_invariant():
