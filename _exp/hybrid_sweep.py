@@ -69,9 +69,14 @@ def main():
     q_ref = None
 
     configs = [
-        ("ongrid", 1), ("ongrid", 3),
+        ("ongrid", 1), ("ongrid", 2), ("ongrid", 3),
         ("nginit", 1), ("nginit", 2), ("nginit", 3),
     ]
+    if os.environ.get("PYBADER_TPU_SWEEP_CONFIGS"):
+        configs = [
+            (c.split(":")[0], int(c.split(":")[1]))
+            for c in os.environ["PYBADER_TPU_SWEEP_CONFIGS"].split(",")
+        ]
     for init, internal in configs:
         os.environ["PYBADER_TPU_HYBRID_INIT"] = init
         old_ng = pipeline._NGINIT_HYBRID_REFINE
@@ -108,7 +113,7 @@ def main():
                              atoms_cart, vox_vol)
         dq = np.abs(q_ref - q_hyb)
         total = float(np.sum(rho) * vox_vol)
-        edges = sum(e for e, _, _ in stats.get("iterations", []))
+        edges = sum(t[0] for t in stats.get("iterations", []))
         print(f"{init} internal={internal}: mismatch "
               f"{100.0 * mism / n:.4f}%  max|dq| {dq.max():.3e} "
               f"({100.0 * dq.max() / total:.2e}% of total)  "
