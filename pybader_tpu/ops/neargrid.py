@@ -432,6 +432,43 @@ def _packed_of(rows_col):
     return rows_col.astype(jnp.int32)
 
 
+# Above this many voxels precompute_rows switches to the two-pass "lean"
+# build: the single-pass form holds all three f64 gd columns (3 x 8 B/vox)
+# NEXT TO the 32 B/vox rows buffer, which at 512^3 peaks ~15 GB alongside
+# the screened walk's resident set (density, q-rows, labels, edge
+# bookkeeping) and exhausted v5e HBM (measured, round 4).  The lean build
+# recomputes the gradient per column instead (2x the roll bandwidth,
+# ~0.3 s extra at 512^3 — the build runs at most once per refine call):
+# pass 1 derives denom/use_ongrid without retaining any column, pass 2
+# builds one column at a time straight into the rows buffer.  Same ops in
+# the same order as the single-pass form, so the rows are bit-identical
+# (pinned by tests/test_qrows.py::test_lean_rows_build_bit_identical).
+_LEAN_ROWS_MIN_N = 1 << 26
+
+
+@partial(jax.jit, static_argnames=("strict_grad",))
+def _denom_flags_fused(reference, t_grad, strict_grad: bool):
+    """denom/use_ongrid in one jit, gd columns freed inside (lean pass 1)."""
+    return _denom_flags(*_gd_components(reference, t_grad, strict_grad))
+
+
+@partial(jax.jit, static_argnames=("strict_grad", "i"))
+def _gd_one(reference, t_grad, strict_grad: bool, i: int):
+    """One gd column (lean pass 2): same accumulation order as
+    :func:`_gd_components` so the f64 result is bit-identical."""
+    acc = jnp.zeros(reference.size, dtype=reference.dtype)
+    for j in range(3):
+        up = jnp.roll(reference, -1, j)
+        dn = jnp.roll(reference, 1, j)
+        if strict_grad:
+            axis_flat = (up < reference) & (dn < reference)
+        else:
+            axis_flat = (up <= reference) & (dn <= reference)
+        grad_j = jnp.where(axis_flat, 0.0, (up - dn) * 0.5).reshape(-1)
+        acc = acc + t_grad[i, j] * grad_j
+    return acc
+
+
 def precompute_rows(reference, parent, t_grad, strict_grad: bool,
                     dtype=None):
     """(N,4) walk-operand rows (no stop bits), built in bounded stages.
@@ -439,22 +476,33 @@ def precompute_rows(reference, parent, t_grad, strict_grad: bool,
     The build is HBM-critical at 512^3 (the f64 rows are 4.3 GB next to
     three 1.07 GB gd columns and the density): every step either donates
     its operand in place (column normalisation, column writes into the
-    rows buffer) or frees its inputs immediately, so the peak stays near
-    (rows + gd columns) instead of roughly double that in the fused
-    single-jit form (which also could not alias (N,)->(N,4) donations).
-    ``dtype`` defaults to the :func:`_rows_dtype` policy (f32 on TPU).
+    rows buffer) or frees its inputs immediately, and above
+    ``_LEAN_ROWS_MIN_N`` voxels the gd columns are recomputed one at a
+    time instead of held together (see the constant's comment).
+    ``dtype`` defaults to the :func:`_rows_dtype` policy.
     """
-    gd = list(_gd_components(reference, jnp.asarray(t_grad), strict_grad))
-    denom, use_ongrid = _denom_flags(*gd)
-    n = gd[0].shape[0]
+    t_grad = jnp.asarray(t_grad)
+    n = reference.size
     if dtype is None:
         dtype = _rows_dtype(n)
-    rows = jnp.zeros((n, 4), dtype=dtype)
-    for j in range(3):
-        col = _div_inplace(gd[j], denom)
-        gd[j] = None
-        rows = _set_col(rows, col, j)
-        del col
+    if n >= _LEAN_ROWS_MIN_N:
+        denom, use_ongrid = _denom_flags_fused(
+            reference, t_grad, strict_grad)
+        rows = jnp.zeros((n, 4), dtype=dtype)
+        for j in range(3):
+            col = _div_inplace(_gd_one(reference, t_grad, strict_grad, j),
+                               denom)
+            rows = _set_col(rows, col, j)
+            del col
+    else:
+        gd = list(_gd_components(reference, t_grad, strict_grad))
+        denom, use_ongrid = _denom_flags(*gd)
+        rows = jnp.zeros((n, 4), dtype=dtype)
+        for j in range(3):
+            col = _div_inplace(gd[j], denom)
+            gd[j] = None
+            rows = _set_col(rows, col, j)
+            del col
     del denom
     packed = _pack_parent(parent.reshape(-1), use_ongrid)
     return _store_packed(rows, packed)

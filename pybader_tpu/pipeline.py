@@ -301,7 +301,18 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
     n = int(np.prod(shape))
     multi = mesh is not None and len(mesh.devices.reshape(-1)) > 1
     if full_trajectories is None:
-        full_trajectories = n <= _NEARGRID_HYBRID_THRESHOLD and not multi
+        import os
+
+        # PYBADER_TPU_FULL_TRAJECTORIES=1 forces the exact full-trajectory
+        # initial pass at ANY grid size (gather-bound: minutes at 384^3,
+        # measured in BASELINE.md); =0 forces the hybrid.  The sharded
+        # multi-device partition always initialises via the mesh ongrid
+        # path (the full-trajectory initial walk is single-device only).
+        env = os.environ.get("PYBADER_TPU_FULL_TRAJECTORIES")
+        if env is not None and not multi:
+            full_trajectories = env.lower() not in ("0", "off", "false")
+        else:
+            full_trajectories = n <= _NEARGRID_HYBRID_THRESHOLD and not multi
     if not full_trajectories:
         import os
 

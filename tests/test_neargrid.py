@@ -254,6 +254,36 @@ def test_partition_neargrid_hybrid_carry_out():
     np.testing.assert_allclose(np.asarray(c_c), np.asarray(c_u), rtol=1e-9)
 
 
+def test_full_trajectories_env_override(monkeypatch):
+    """PYBADER_TPU_FULL_TRAJECTORIES flips the default path selection.
+
+    =0 forces the hybrid even below the size threshold (detectable: the
+    hybrid fills carry_out, the full-trajectory path leaves it empty),
+    =1 forces full trajectories; an explicit full_trajectories argument
+    is never overridden.
+    """
+    rho, w, tg = _setup(5)
+    w = tuple(w)
+
+    monkeypatch.setenv("PYBADER_TPU_FULL_TRAJECTORIES", "0")
+    carry = {}
+    lab_h, max_h = pipeline.partition_neargrid(
+        rho, None, w, tg, carry_out=carry)
+    assert carry, "=0 must select the hybrid (carry_out filled)"
+
+    monkeypatch.setenv("PYBADER_TPU_FULL_TRAJECTORIES", "1")
+    carry = {}
+    lab_f, max_f = pipeline.partition_neargrid(
+        rho, None, w, tg, carry_out=carry)
+    assert not carry, "=1 must select full trajectories (carry_out empty)"
+
+    # explicit argument wins over the env var
+    carry = {}
+    pipeline.partition_neargrid(
+        rho, None, w, tg, full_trajectories=False, carry_out=carry)
+    assert carry, "explicit full_trajectories=False must beat the env var"
+
+
 def test_refine_chunked_walk_matches_unchunked(monkeypatch):
     """The HBM-bounding chunked walk (normally only at 512^3-class edge
     sets) must produce identical refinement to the single-bucket walk."""

@@ -229,3 +229,20 @@ def test_hybrid_carry_rebuilds_rows_across_format(monkeypatch):
     c_e, _ = reductions.charge_volume_sum(
         jnp.asarray(rho), jnp.asarray(lab_e), vv, len(maxima))
     np.testing.assert_allclose(np.asarray(c_q), np.asarray(c_e), rtol=1e-9)
+
+
+def test_lean_rows_build_bit_identical(monkeypatch):
+    """The two-pass lean precompute_rows (512^3 HBM path) is bit-equal to
+    the single-pass build: same gradient accumulation order, so the f64
+    columns and the packed word must match exactly."""
+    rho, w, tg = _setup(6)
+    bk = ongrid_step_codes(jnp.asarray(rho), w)
+    parent = parent_from_step_codes(bk)
+    rows_1pass = ng.precompute_rows(
+        jnp.asarray(rho), parent, jnp.asarray(tg), strict_grad=True)
+    monkeypatch.setattr(ng, "_LEAN_ROWS_MIN_N", 0)
+    rows_lean = ng.precompute_rows(
+        jnp.asarray(rho), parent, jnp.asarray(tg), strict_grad=True)
+    np.testing.assert_array_equal(
+        np.asarray(rows_1pass).view(np.int64),
+        np.asarray(rows_lean).view(np.int64))
