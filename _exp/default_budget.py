@@ -40,6 +40,19 @@ def main():
     from pybader_tpu.ops import edges as edges_ops
     from pybader_tpu.ops import reductions
 
+    import jax
+
+    def hbm(tag):
+        """Device-memory watermark (best effort; axon may not report)."""
+        try:
+            s = jax.local_devices()[0].memory_stats() or {}
+            print(f"    [hbm {tag}] in_use "
+                  f"{s.get('bytes_in_use', 0) / 1e9:.2f} GB, peak "
+                  f"{s.get('peak_bytes_in_use', 0) / 1e9:.2f} GB, limit "
+                  f"{s.get('bytes_limit', 0) / 1e9:.2f} GB", flush=True)
+        except Exception as e:
+            print(f"    [hbm {tag}] unavailable: {e}", flush=True)
+
     size = args.size
     shape = (size, size, size)
     lattice = np.diag([20.0] * 3)
@@ -63,6 +76,7 @@ def main():
         t_part = time.perf_counter() - t0
         print(f"[{tag}] partition_ongrid: {t_part:.2f}s "
               f"({len(maxima)} basins)")
+        hbm("post-partition")
 
         # stage: hybrid-internal refinement ('changed', 3) with carry out
         seg_log = []
@@ -70,12 +84,18 @@ def main():
             (time.perf_counter(), msg))
         t0 = time.perf_counter()
         stats = {"detail": True}
-        labels, ch1 = pipeline.refine_labels(
-            "neargrid", pipeline._NEARGRID_HYBRID_REFINE, rho, labels, w,
-            tg, verbose=False, stats=stats, progress=tick, carry_out=carry)
+        try:
+            labels, ch1 = pipeline.refine_labels(
+                "neargrid", pipeline._NEARGRID_HYBRID_REFINE, rho, labels,
+                w, tg, verbose=False, stats=stats, progress=tick,
+                carry_out=carry)
+        except Exception:
+            hbm("AT-HYBRID-FAILURE")
+            raise
         t_hyb = time.perf_counter() - t0
         print(f"[{tag}] hybrid refine {pipeline._NEARGRID_HYBRID_REFINE}: "
               f"{t_hyb:.2f}s, iters={stats.get('iterations')}")
+        hbm("post-hybrid")
         for i, d in enumerate(stats.get("stages", [])):
             print(f"    it{i + 1} stages: {d}")
 
@@ -89,6 +109,7 @@ def main():
         t_ref = time.perf_counter() - t0
         print(f"[{tag}] user refine ('changed', 2): {t_ref:.2f}s, "
               f"iters={stats2.get('iterations')}")
+        hbm("post-user-refine")
         for i, d in enumerate(stats2.get("stages", [])):
             print(f"    it{i + 1} stages: {d}")
 
@@ -125,6 +146,7 @@ def main():
         _sync_scalar(charge)
         t_sum = time.perf_counter() - t0
         print(f"[{tag}] charge sums: {t_sum:.2f}s")
+        hbm("end-of-pass")
 
         total = time.perf_counter() - tp0
         print(f"[{tag}] TOTAL: {total:.2f}s "
