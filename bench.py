@@ -370,11 +370,59 @@ def run_workloads(size: int, which: str):
           flush=True)
 
 
+def _clean_exit():
+    """Release HBM explicitly, then exit with a bounded teardown.
+
+    The round-4 artifact lost three of four workload rows to a
+    kill->HBM-leak cascade: the driver killed each child the moment its
+    results arrived, killed TPU clients leak their HBM for ~10-20 min on
+    this environment, and every subsequent child hung silently inside its
+    first large allocation for its whole budget.  The fix is on the child
+    side: delete every live device buffer (buffer frees are explicit
+    client->server operations that complete before we exit, unlike a
+    kill, which drops the connection with the buffers still held), sync
+    so the frees actually reach the server, then hard-exit: with the HBM
+    already released there is nothing left for the XLA/tunnel teardown
+    (which can hang for minutes) to do.
+    """
+    sys.stdout.flush()
+    sys.stderr.flush()
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        for a in jax.live_arrays():
+            a.delete()
+        float(jnp.zeros(()) + 1.0)  # round trip: frees reached the server
+    except Exception:
+        pass
+    os._exit(0)
+
+
+def _hbm_probe():
+    """Child mode: prove a ~1 GB device allocation completes.
+
+    The driver runs this between workloads after any kill: a leak from a
+    killed predecessor makes this hang (the observed failure mode), and
+    the gate retries off-budget until the server reclaims the memory —
+    a leak then degrades start time, never the measurement.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.ones((1 << 27,), jnp.float64)  # 1 GiB
+    print(f"probe ok {_sync_scalar(x)}", flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        _hbm_probe()
+        _clean_exit()
+        return
     if len(sys.argv) > 1 and sys.argv[1].startswith("--size="):
         size = int(sys.argv[1].split("=")[1])
         which = sys.argv[2] if len(sys.argv) > 2 else "both"
         run_workloads(size, which)
+        _clean_exit()
         return
 
     serial = measured_baseline()
@@ -400,15 +448,17 @@ def main():
             "vs_baseline": round(v / baseline_8t, 2),
         }), flush=True)
 
-    # budgets: generous for the headline workload (a cold compile cache
-    # pays 1-5 min of tunnel compiles per new shape; the provisional line
-    # means the budget now bounds degradation, not success/failure)
-    budget = {(384, "partition"): 480, (384, "default"): 420,
-              (512, "partition"): 240, (512, "default"): 600}
+    # budgets: a cold compile cache pays 1-5 min of tunnel compiles per
+    # new shape, and first-pass program loads scale with shape — so the
+    # 512^3 partition gets at least the 384^3 budget (the r4 240 s budget
+    # was backwards) and the provisional line means each budget bounds
+    # degradation, not success/failure
+    budget = {(384, "partition"): 480, (384, "default"): 480,
+              (512, "partition"): 480, (512, "default"): 600}
     # final JSON lines each workload emits (provisional lines don't
-    # count); once they all arrived the subprocess is killed immediately
-    # — XLA/tunnel teardown can hang for minutes after the results are
-    # out, and that wait came off the next workload's driver budget
+    # count); once they all arrived the child releases its HBM and exits
+    # on its own (_clean_exit) — the driver only kills on budget expiry,
+    # and any kill arms the HBM probe gate for the next launch
     expected = {"partition": 1, "default": 1}
 
     def handle_line(line, size, which, counts):
@@ -465,6 +515,9 @@ def main():
     for size, which, attempts_left in run_list:
         while attempts_left > 0:
             attempts_left -= 1
+            if _NEED_GATE[0]:
+                _hbm_gate()
+                _NEED_GATE[0] = False
             got_any = _run_one(size, which, budget, expected, handle_line)
             is_headline = size == headline_size and which == "partition"
             if got_any or not is_headline or attempts_left == 0:
@@ -474,6 +527,43 @@ def main():
         if size == headline_size and which == "partition":
             emit_headline()  # provisional (or 0.0) if no final landed
     emit_headline()
+
+
+# armed whenever a child had to be killed (budget expiry / hung exit):
+# the NEXT launch must first pass the HBM probe gate, because a killed
+# TPU client leaks its HBM for ~10-20 min on this environment and the
+# next child's first big allocation hangs silently (the round-4 failure)
+_NEED_GATE = [False]
+
+
+def _hbm_gate(max_wait=900.0):
+    """Block OFF-BUDGET until a throwaway child can allocate ~1 GB.
+
+    Runs only after a kill.  A leak from the killed predecessor makes the
+    probe hang; the gate retries until the server reclaims the memory (or
+    the bounded wait runs out), so a leak degrades start time, never the
+    next workload's measurement."""
+    t_end = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe"],
+                capture_output=True, text=True, timeout=120)
+            if "probe ok" in (r.stdout or ""):
+                print(f"  HBM gate: clear (attempt {attempt})",
+                      file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > t_end:
+            print(f"  HBM gate: still blocked after {max_wait:.0f}s; "
+                  f"launching anyway", file=sys.stderr)
+            return False
+        print(f"  HBM gate: probe attempt {attempt} hung/failed; "
+              f"retrying in 30s", file=sys.stderr)
+        time.sleep(30)
 
 
 def _run_one(size, which, budget, expected, handle_line):
@@ -499,6 +589,7 @@ def _run_one(size, which, budget, expected, handle_line):
         while True:
             if time.time() > deadline:
                 proc.kill()
+                _NEED_GATE[0] = True
                 print(f"  {which} {size}^3 exceeded "
                       f"{wl_budget}s budget",
                       file=sys.stderr)
@@ -525,13 +616,18 @@ def _run_one(size, which, budget, expected, handle_line):
                 continue
             handle_line(line, size, which, counts)
             if counts["got"] >= expected[which]:
-                proc.kill()  # results are in; skip teardown hangs
+                # results are in.  Do NOT kill: the child frees its HBM
+                # and exits on its own within ~20 s (_clean_exit); a kill
+                # here leaked the child's multi-GB working set and hung
+                # every later workload (BENCH_r04).  The finally-wait
+                # below bounds a child whose watchdog somehow fails.
                 break
     finally:
         try:
-            proc.wait(timeout=10)
+            proc.wait(timeout=45)
         except subprocess.TimeoutExpired:
             proc.kill()
+            _NEED_GATE[0] = True
         try:
             err_f.seek(0)
             err = err_f.read()

@@ -167,8 +167,11 @@ _store_packed = jax.jit(_set_packed_col, donate_argnums=(0,))
 #   exact iterations), opt-in via PYBADER_TPU_QROWS=internal|all.
 #
 # The ongrid fallback target is a 5-bit neighbour code instead of a flat
-# index, so the packed word no longer bounds the grid at 2^28 voxels —
-# the q-walker works at any int32-addressable grid.
+# index, so the packed ROW no longer bounds the grid at 2^28 voxels.  The
+# binding limit is the drain loop's retired-lane words (_pack_w: pos in
+# bits [0:30), risky at 30, done at 31) and the screened compaction's
+# identical packing: grids must stay under 2^30 voxels (< 1024^3;
+# asserted in walk_drain).
 # ---------------------------------------------------------------------------
 
 _Q_SCALE = 262143.0  # 2^18 - 1
@@ -236,9 +239,10 @@ def _walk_segment_q(state, qrows, shape: tuple, max_steps,
 
     Step-for-step the same control flow (ongrid fallback, revisit window,
     dr reset, done freezing); the only difference is the operand: the
-    gradient is dequantised int16 fixed point and the ongrid fallback
-    target is decoded from the 5-bit neighbour code relative to the
-    current position instead of gathered as a flat index.
+    gradient is dequantised 19-bit fixed point (quantisation ~1.9e-6 per
+    component) and the ongrid fallback target is decoded from the 5-bit
+    neighbour code relative to the current position instead of gathered
+    as a flat index.
     """
     nx, ny, nz = shape
     dims = jnp.asarray([nx, ny, nz], dtype=jnp.int32)
@@ -314,11 +318,17 @@ def _walk_segment_counted_q(state, qrows, shape: tuple, max_steps,
 
 # Per-decision error bound for the SCREENED quantised walk: quantisation
 # round-off (0.5/262143 = 1.907e-6) + dequantise/accumulate f32 rounding
-# headroom (~2.5e-7: one division rounding on |g|<=1 plus two f32 adds on
-# |dr|<=1.5 per step).  Sound per component per step; dr's bound
-# accumulates since the last reset (ongrid fallback / revisit zeroes dr
-# exactly on both row formats).
-_QS_EPS = jnp.float32(2.2e-6)
+# (one multiply rounding on |g|<=1 at <=2^-24 ~ 6e-8, plus two f32 adds
+# on |dr|<=1.5 per step at <=1.5*2^-23 ~ 1.8e-7 each, worst case
+# ~4.2e-7).  The worst-case per-step sum is ~2.33e-6; 3e-6 leaves ~30%
+# soundness margin over it (the razor-thin 2.2e-6 of round 4 was ~1%
+# UNDER a pessimistic accounting — ADVICE r4).  Widening the bound only
+# flags more lanes risky (re-walked exactly), never fewer: measured
+# risky-lane counts moved <0.1% of walked lanes at 2.2e-6 -> 3e-6.
+# Sound per component per step; dr's bound accumulates since the last
+# reset (ongrid fallback / revisit zeroes dr exactly on both row
+# formats).
+_QS_EPS = jnp.float32(3e-6)
 
 
 @partial(jax.jit, static_argnames=("shape", "early_exit"))
@@ -761,8 +771,8 @@ def _bucket_size(n: int, min_batch: int = 4096) -> int:
 def _pack_w(pos, done, risky=None):
     """Pack a lane's walk result into one int32 word.
 
-    pos in bits [0:30) (any grid the int32 flat index addresses in
-    practice), done in the sign bit, risky (screened walks) at bit 30.
+    pos in bits [0:30) (grids < 2^30 voxels — asserted in walk_drain),
+    done in the sign bit, risky (screened walks) at bit 30.
     The drain loop records retired lanes in this packed form so each
     compaction scatters ONE small word array instead of 2-3 full-bucket
     arrays (the full-bucket scatter_back was ~90M scatter ops per
@@ -1005,6 +1015,12 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     else:
         assert stop_flat is None, "bake stop bits via update_stop"
         rows = fields
+    # retired-lane words and the screened/f32 compactions pack flat
+    # positions into bits [0:30) (done sign bit, risky bit 30): the drain
+    # path supports grids below 2^30 voxels only (< 1024^3)
+    assert rows.shape[0] < (1 << 30), (
+        f"walk_drain packs positions into 30 bits; grid has "
+        f"{rows.shape[0]} voxels (>= 2^30)")
     qmode = is_qrows(rows)
     if screened:
         assert qmode, "screened walking needs quantised rows"
@@ -1153,7 +1169,7 @@ def walk_drain_screened(starts: jax.Array, t_grad: jax.Array, shape: tuple,
     Every lane walks the 8-byte quantised rows with the per-decision
     exactness screen (:func:`_walk_segment_qs`); the lanes the screen
     could not prove decision-identical to the exact-row walk (typically
-    a small fraction — rounding decisions within ~1.7e-5/step of the
+    a small fraction — rounding decisions within ~3e-6/step of the
     0.5 thresholds) are re-walked from scratch on the exact rows, which
     ``exact_fields_fn()`` supplies lazily (same stop bits baked).  The
     combined result is bit-identical to walking every lane on the exact

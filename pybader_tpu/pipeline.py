@@ -456,14 +456,23 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
     The carry is single-use (its row buffer is donated onward).  Both are
     ignored for 'all' mode and on a multi-device mesh.
 
-    ``quantized`` selects the 8-byte int16-fixed-point walker rows
-    (ops/neargrid.py "Quantised 8-byte rows"): ~2x the walk rate at a
-    documented ~1.5e-5 gradient quantisation.  The hybrid's INTERNAL
-    refinement passes True (its changed voxels are re-walked by later
-    exact iterations); user-visible refinement defaults to the exact f32
-    rows unless PYBADER_TPU_QROWS=all.  On the CPU backend quantisation
-    additionally requires PYBADER_TPU_QROWS_CPU=1 (oracle-parity tests
-    stay exact); a carry whose row format differs is rebuilt.
+    ``quantized`` selects the walker row format (ops/neargrid.py
+    "Quantised 8-byte rows": two int32 words, 19-bit fixed-point gradient
+    components, quantisation ~1.9e-6/component): ``'qs'`` (the default,
+    from PYBADER_TPU_QROWS=screened) walks the q-rows under the per-lane
+    exactness screen and re-walks unproven lanes on exact rows —
+    bit-identical to exact-row walking, safe for user-visible
+    refinement; ``'q'`` walks them UNscreened (the measured
+    approximation — the hybrid's internal iterations pass this, their
+    changed voxels being re-walked by the chained exact user
+    iterations, or PYBADER_TPU_QROWS=all everywhere); ``False``/
+    PYBADER_TPU_QROWS=off keeps exact rows everywhere.  The gather rate
+    is flat in row bytes (BASELINE.md "Walker cost model"), so the
+    screen's value is exactness at half the HBM footprint, not speed.
+    On the CPU backend unscreened 'q' additionally requires
+    PYBADER_TPU_QROWS_CPU=1 (oracle-parity tests stay exact); a carry
+    whose row format differs is rebuilt (exact rows crossing into a
+    quantised call are kept for the screen's risky re-walks).
 
     returns (labels, total_changed).
     """
@@ -548,6 +557,13 @@ def refine_labels(method: str, refine_mode, reference, labels, weights,
                 exact_rows_in = None
                 carry_in["fields"] = carry_in["fields_exact"] = None
             else:
+                if not neargrid_ops.is_qrows(walk_fields) \
+                        and exact_rows_in is None:
+                    # exact -> quantised boundary: keep the carried exact
+                    # rows for the screened walk's risky re-walks instead
+                    # of dropping them and forcing a redundant multi-GB
+                    # rebuild if any lane flags risky (ADVICE r4)
+                    exact_rows_in = walk_fields
                 carry_in["fields"] = walk_fields = None
         if walk_fields is None and not multi:
             walk_fields = _build_rows(bk)
