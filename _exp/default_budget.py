@@ -78,7 +78,8 @@ def main():
               f"({len(maxima)} basins)")
         hbm("post-partition")
 
-        # stage: hybrid-internal refinement ('changed', 3) with carry out
+        # stage: hybrid-internal refinement (resolution-scaled budget,
+        # pipeline._hybrid_internal_budget) with carry out
         seg_log = []
         tick = lambda msg: seg_log.append(  # noqa: E731
             (time.perf_counter(), msg))
@@ -86,14 +87,14 @@ def main():
         stats = {"detail": True}
         try:
             labels, ch1 = pipeline.refine_labels(
-                "neargrid", pipeline._NEARGRID_HYBRID_REFINE, rho, labels,
+                "neargrid", pipeline._hybrid_internal_budget(rho.shape), rho, labels,
                 w, tg, verbose=False, stats=stats, progress=tick,
                 carry_out=carry)
         except Exception:
             hbm("AT-HYBRID-FAILURE")
             raise
         t_hyb = time.perf_counter() - t0
-        print(f"[{tag}] hybrid refine {pipeline._NEARGRID_HYBRID_REFINE}: "
+        print(f"[{tag}] hybrid refine {pipeline._hybrid_internal_budget(rho.shape)}: "
               f"{t_hyb:.2f}s, iters={stats.get('iterations')}")
         hbm("post-hybrid")
         for i, d in enumerate(stats.get("stages", [])):

@@ -409,7 +409,7 @@ def _hbm_probe():
     """
     import jax.numpy as jnp
 
-    x = jnp.ones((1 << 27,), jnp.float64)  # 1 GiB
+    x = jnp.ones((1 << 28,), jnp.float32)  # 1 GiB (x64 may be off here)
     print(f"probe ok {_sync_scalar(x)}", flush=True)
 
 

@@ -240,18 +240,18 @@ def partition_ongrid(reference, vacuum, weights, exact_stencil=False,
 # walking is gather-bound on TPU: ~3 gathers/step at ~25M lookups/s makes
 # 56M x ~60-step walks a multi-minute program).
 _NEARGRID_HYBRID_THRESHOLD = 1 << 24
-# Internal refinement budget of the OLD ongrid-init hybrid (still used on
-# multi-device meshes, where the init is the sharded ongrid partition).
-# This mirrors the reference's own sanctioned approximation: its 'speed'
-# profile ships ongrid + 3 neargrid refinement iterations in place of the
-# neargrid method (reference entry_points.py:340-345).  Running to
-# convergence instead is NOT the default because flat interstitial
-# regions can keep re-contesting the watershed for dozens of iterations
-# (measured at a dense 384^3: changed counts decay ~0.74x/iteration from
-# 3.2M — an hour-class convergence the reference's default config never
-# pays either); callers who want the converged ground-truth state pass
-# refine_mode=('changed', -1) (the reference's own accuracy-harness
-# definition of truth, examples/compare_methods.py:16).
+# Base internal refinement budget of the ongrid-init hybrid per 128
+# voxels of grid extent (see _hybrid_internal_budget).  This mirrors the
+# reference's own sanctioned approximation: its 'speed' profile ships
+# ongrid + 3 neargrid refinement iterations in place of the neargrid
+# method (reference entry_points.py:340-345).  Running to convergence
+# instead is NOT the default because flat interstitial regions can keep
+# re-contesting the watershed for dozens of iterations (measured at a
+# dense 384^3: changed counts decay ~0.74x/iteration from 3.2M — a
+# convergence the reference's default config never pays either); callers
+# who want the converged ground-truth state pass refine_mode=
+# ('changed', -1) (the reference's own accuracy-harness definition of
+# truth, examples/compare_methods.py:16).
 _NEARGRID_HYBRID_REFINE = ("changed", 3)
 # Internal budget on top of the neargrid-first-step init (the
 # single-device default): the init already lands the first-step boundary
@@ -259,6 +259,25 @@ _NEARGRID_HYBRID_REFINE = ("changed", 3)
 # suffices — measured accuracy vs the serial reference at the shipping
 # config is recorded in BASELINE.md (_exp/hybrid_accuracy.py).
 _NGINIT_HYBRID_REFINE = ("changed", 1)
+
+
+def _hybrid_internal_budget(shape):
+    """Resolution-scaled internal refinement budget for the hybrid init.
+
+    The init's mislabeled band has a fixed PHYSICAL width, and edge
+    refinement moves the watershed front ~1 voxel per iteration — so a
+    fixed iteration count loses accuracy linearly with resolution
+    (measured: 0% voxels off at 48^3, 0.03% at 128^3, 1.2% at 192^3
+    under the old fixed ('changed', 3); BASELINE.md "Hybrid accuracy").
+    Scaling the budget with the largest grid extent keeps the covered
+    band a fixed physical width: 3 iterations at <=128 voxels extent
+    (the measured-accurate base), plus 3 per extra 128 voxels.  The
+    extra iterations are cheap: the changed set decays ~0.74x per
+    iteration, so late iterations walk small candidate lists
+    (the 384^3 cost/accuracy trade is measured in BASELINE.md r5).
+    """
+    e = max(shape)
+    return ("changed", _NEARGRID_HYBRID_REFINE[1] * max(1, -(-e // 128)))
 
 # Largest changed-set 27-neighbourhood candidate list the refinement loop
 # will materialise for the sorted-filter fast path; bigger changed sets
@@ -332,7 +351,13 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         else:
             labels, maxima = partition_ongrid(
                 reference, vac, weights, mesh=mesh, progress=progress)
-            internal = _NEARGRID_HYBRID_REFINE
+            internal = _hybrid_internal_budget(shape)
+        # PYBADER_TPU_INTERNAL_ITERS overrides the internal refinement
+        # depth (-1 = run the band to convergence) for accuracy/cost
+        # measurement runs (_exp/hybrid_accuracy.py)
+        env_it = os.environ.get("PYBADER_TPU_INTERNAL_ITERS")
+        if env_it is not None:
+            internal = ("changed", int(env_it))
         # internal iterations walk the 8-byte quantised rows: screened
         # (exact) by default; PYBADER_TPU_QROWS=internal|all walks them
         # unscreened — approximation machinery whose changed voxels are

