@@ -99,17 +99,19 @@ def _set_col(rows, col, j: int):
 def _rows_dtype(n: int):
     """Walk-operand row dtype policy: f64 everywhere.
 
-    The round-4 gather probes (_exp/qrow_probe.py) showed the row gather
-    runs at a flat ~37-42M rows/s on v5e INDEPENDENT of row bytes
-    (16B/8B/4B identical within 10%) and of lane count (2M-32M) — the
-    walk is bound by the serialized dependent-gather chain, not by
-    bytes.  Round 3's byte-bound model (79M rows/s for f32x4 at 16M
-    lanes) did not reproduce.  With zero gather cost for width, exact
-    rows are f64: the walk is then bit-exact to the f64 oracle
-    semantics, retiring the round-3 f32 knife-edge deviation (~5
-    flipped labels per million voxels).  Bulk walking happens on the
-    8-byte quantised rows under the exactness screen anyway; these
-    exact rows only serve the rare risky re-walks.
+    The reconciled gather model (BASELINE.md "Walker cost model",
+    probes _exp/qrow_probe.py + _exp/chain_probe.py): v5e sustains
+    ~75-91M dependent row gathers/s for ANY row width up to 16 bytes
+    (qrow_probe's "37-42M rows/s" did 2 gathers per step — row plus
+    next-pointer), flat in lane count (2M-32M) and in chain
+    interleaving — throughput-bound, so width below 16 B is free and
+    only f64x4 (32 B) rows pay a 2x penalty on the gather itself; the
+    walk operand row stays one gather wide.  Exact rows are f64: the
+    walk is then bit-exact to the f64 oracle semantics, retiring the
+    round-3 f32 knife-edge deviation (~5 flipped labels per million
+    voxels).  Bulk walking happens on the 8-byte quantised rows under
+    the exactness screen anyway; the f64 gather penalty lands only on
+    the rare risky re-walks.
     PYBADER_TPU_F32_ROWS=1 restores the old f32 policy for A/B runs
     (HBM: f64 rows are 32 B/voxel — 4.3 GB at 512^3).
     """
