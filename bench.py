@@ -282,6 +282,13 @@ def run_workloads(size: int, which: str):
         rho_h, centers = synthetic_density(shape, return_centers=True)
         rho_dev = jnp.asarray(rho_h)
         _sync_scalar(rho_dev)
+    # heartbeat: r4's empty rows were indistinguishable from a hang
+    # because the child printed nothing until its first full pass — the
+    # field-ready mark proves the device allocator came up (its absence
+    # after a prior kill = the HBM-leak hang)
+    print(f"  [child] {size}^3 field on device; first {which} pass "
+          f"starting (a cold compile cache pays minutes of tunnel "
+          f"compiles)", file=sys.stderr, flush=True)
     atoms_cart = centers @ lattice
     w = tuple(grid.distance_weights(lattice, shape))
     tg = grid.t_grad(lattice, shape)
@@ -320,10 +327,10 @@ def run_workloads(size: int, which: str):
         return
 
     # ---- workload 2: default acceptance pipeline
-    def default_e2e(stats=None):
+    def default_e2e(stats=None, istats=None):
         carry = {}
         labels, maxima = pipeline.partition_neargrid(
-            rho_dev, None, w, tg, carry_out=carry)
+            rho_dev, None, w, tg, carry_out=carry, stats=istats)
         labels, changed = pipeline.refine_labels(
             "neargrid", ("changed", 2), rho_dev, labels, w, tg,
             verbose=False, stats=stats, carry_in=carry or None)
@@ -351,14 +358,15 @@ def run_workloads(size: int, which: str):
     # number measures the harness, not the pipeline.  Both numbers are
     # reported: ``cold`` (first pass, what a one-shot CLI user sees with
     # a warm compile cache) and ``best`` (steady state).
-    stats = {}
+    stats, istats = {}, {}
     t0 = time.perf_counter()
-    n_max, changed, total = default_e2e(stats)
+    n_max, changed, total = default_e2e(stats, istats)
     cold = time.perf_counter() - t0
     print(json.dumps({"size": size, "best": cold, "cold": cold,
                       "n_max": n_max, "changed": changed,
                       "workload": "default",
                       "refine_stats": stats.get("iterations", []),
+                      "refine_stats_internal": istats.get("iterations", []),
                       "provisional": True}), flush=True)
     t0 = time.perf_counter()
     n_max, changed, total = default_e2e()
@@ -366,7 +374,8 @@ def run_workloads(size: int, which: str):
     print(json.dumps({"size": size, "best": best, "cold": cold,
                       "n_max": n_max, "changed": changed,
                       "workload": "default",
-                      "refine_stats": stats.get("iterations", [])}),
+                      "refine_stats": stats.get("iterations", []),
+                      "refine_stats_internal": istats.get("iterations", [])}),
           flush=True)
 
 
@@ -452,9 +461,15 @@ def main():
     # new shape, and first-pass program loads scale with shape — so the
     # 512^3 partition gets at least the 384^3 budget (the r4 240 s budget
     # was backwards) and the provisional line means each budget bounds
-    # degradation, not success/failure
-    budget = {(384, "partition"): 480, (384, "default"): 480,
-              (512, "partition"): 480, (512, "default"): 600}
+    # degradation, not success/failure.  The default workloads' budgets
+    # must cover a COLD-cache first pass (any code change to the walker
+    # invalidates every screened-walk program at once — measured: the
+    # r5 _QS_EPS change pushed the 384^3 default first pass past 480 s
+    # of tunnel compiles), and every workload gets a second attempt when
+    # the first produced nothing: the compiles attempt 1 finished are in
+    # the persistent cache either way.
+    budget = {(384, "partition"): 480, (384, "default"): 900,
+              (512, "partition"): 480, (512, "default"): 1200}
     # final JSON lines each workload emits (provisional lines don't
     # count); once they all arrived the child releases its HBM and exits
     # on its own (_clean_exit) — the driver only kills on budget expiry,
@@ -475,6 +490,10 @@ def main():
             it = ["/".join(map(str, t)) for t in r["refine_stats"]]
             extra = (f", refine edges/changed/capped per iter: "
                      f"{'; '.join(it)}")
+        if r["workload"] == "default" and r.get("refine_stats_internal"):
+            it = ["/".join(map(str, t))
+                  for t in r["refine_stats_internal"]]
+            extra += f", internal iters: {'; '.join(it)}"
         if "cold" in r and r["cold"] != r["best"]:
             extra += f", first pass {r['cold']:.3f}s"
         tag = " (first pass)" if r.get("provisional") else ""
@@ -502,16 +521,14 @@ def main():
             for s in os.environ["PYBADER_TPU_BENCH_SIZES"].split(",")
         ]
     headline_size = next(s for s, w in schedule if w == "partition")
-    # the headline workload gets a second attempt if its first one ends
-    # with NO result line at all (not even the provisional warm-pass
-    # line): a cold XLA/Mosaic cache pays minutes of tunnel compiles,
-    # and attempt 1 leaves the persistent cache warm for attempt 2 —
-    # the in-run analog of the reference's install-time JIT warm
-    # (reference entry_points.py:358-379).
-    run_list = []
-    for size, which in schedule:
-        n_att = 2 if (size == headline_size and which == "partition") else 1
-        run_list.append((size, which, n_att))
+    # EVERY workload gets a second attempt if its first one ends with NO
+    # result line at all (not even the provisional warm-pass line): a
+    # cold XLA/Mosaic cache pays minutes of tunnel compiles, and attempt
+    # 1 leaves the persistent cache warm for attempt 2 — the in-run
+    # analog of the reference's install-time JIT warm (reference
+    # entry_points.py:358-379).  r4 lost three rows by retrying only the
+    # headline.
+    run_list = [(size, which, 2) for size, which in schedule]
     for size, which, attempts_left in run_list:
         while attempts_left > 0:
             attempts_left -= 1
@@ -519,8 +536,7 @@ def main():
                 _hbm_gate()
                 _NEED_GATE[0] = False
             got_any = _run_one(size, which, budget, expected, handle_line)
-            is_headline = size == headline_size and which == "partition"
-            if got_any or not is_headline or attempts_left == 0:
+            if got_any or attempts_left == 0:
                 break
             print(f"  {which} {size}^3: no result at all — retrying "
                   f"(compile cache is warmer now)", file=sys.stderr)

@@ -294,7 +294,8 @@ _WALK_CHUNK_CAP = 1 << 23
 def partition_neargrid(reference, vacuum, weights, t_grad,
                        batch: int = _WALK_BATCH,
                        full_trajectories: bool | None = None,
-                       mesh=None, progress=None, carry_out=None):
+                       mesh=None, progress=None, carry_out=None,
+                       stats=None):
     """Neargrid partition: every voxel walks its full trajectory.
 
     Order-independent formulation of reference methods.py:222-611 (see
@@ -370,10 +371,14 @@ def partition_neargrid(reference, vacuum, weights, t_grad,
         # approximation); 0 = use the safety formula.  Accuracy/cost
         # trade-off measured in BASELINE.md (_exp/hybrid_accuracy.py).
         icap = int(os.environ.get("PYBADER_TPU_INTERNAL_CAP", "0")) or None
+        # ``stats`` (same contract as refine_labels') surfaces the
+        # INTERNAL iterations too — a bench artifact reporting only the
+        # user iterations under-reports the work done (VERDICT r4)
         labels, _ = refine_labels(
             "neargrid", internal, reference, labels,
             weights, t_grad, verbose=False, mesh=mesh, progress=progress,
             carry_out=carry_out, quantized=q_internal, step_cap=icap,
+            stats=stats,
         )
         # refinement reassigns edge voxels among the existing basin ids;
         # numbering and the maxima list stay those of the initialisation
