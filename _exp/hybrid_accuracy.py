@@ -97,6 +97,14 @@ def main():
                          "and report both sides' distance to that fixed "
                          "point — is the hybrid default closer to the "
                          "ground truth than the reference's own default?")
+    ap.add_argument("--serial-cache", default=None,
+                    help="npz path: load the serial-side labels from it "
+                         "if present, else compute and save them there "
+                         "(the serial side is minutes-class at 384^3 on "
+                         "one core; the device side re-runs cheaply)")
+    ap.add_argument("--serial-only", action="store_true",
+                    help="compute + cache the serial side, then exit "
+                         "(run it while the TPU is busy elsewhere)")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -125,24 +133,53 @@ def main():
     vox_vol = grid.voxel_volume(lattice, shape)
 
     # ---- serial reference semantics
-    lib = build_serial()
     dp = ctypes.POINTER(ctypes.c_double)
-    lab_ref = np.empty(shape, dtype=np.int32)
-    t0 = time.perf_counter()
-    nm_ref = lib.sn_neargrid(
-        rho.ctypes.data_as(dp), *shape, w.ctypes.data_as(dp),
-        tg.ctypes.data_as(dp),
-        lab_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
-    t_init = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ch_ref = lib.sn_refine(
-        rho.ctypes.data_as(dp), *shape, w.ctypes.data_as(dp),
-        tg.ctypes.data_as(dp),
-        lab_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        ctypes.c_long(args.iters))
-    t_ref = time.perf_counter() - t0
-    print(f"serial: {nm_ref} basins, init {t_init:.1f}s, "
-          f"refine({args.iters}) {t_ref:.1f}s, changed {ch_ref}")
+    cache = args.serial_cache
+    lab_tru = None
+    if cache and os.path.isfile(cache):
+        z = np.load(cache)
+        lab_ref = np.ascontiguousarray(z["lab_ref"])
+        nm_ref = int(z["nm_ref"])
+        if "lab_tru" in z.files:
+            lab_tru = np.ascontiguousarray(z["lab_tru"])
+        print(f"serial (cached {cache}): {nm_ref} basins"
+              f"{', truth cached' if lab_tru is not None else ''}")
+    else:
+        lib = build_serial()
+        lab_ref = np.empty(shape, dtype=np.int32)
+        t0 = time.perf_counter()
+        nm_ref = lib.sn_neargrid(
+            rho.ctypes.data_as(dp), *shape, w.ctypes.data_as(dp),
+            tg.ctypes.data_as(dp),
+            lab_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        t_init = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ch_ref = lib.sn_refine(
+            rho.ctypes.data_as(dp), *shape, w.ctypes.data_as(dp),
+            tg.ctypes.data_as(dp),
+            lab_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_long(args.iters))
+        t_ref = time.perf_counter() - t0
+        print(f"serial: {nm_ref} basins, init {t_init:.1f}s, "
+              f"refine({args.iters}) {t_ref:.1f}s, changed {ch_ref}")
+        if args.truth:
+            lab_tru = np.ascontiguousarray(lab_ref.copy())
+            t0 = time.perf_counter()
+            lib.sn_refine(
+                rho.ctypes.data_as(dp), *shape, w.ctypes.data_as(dp),
+                tg.ctypes.data_as(dp),
+                lab_tru.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                ctypes.c_long(-1))
+            print(f"serial converged (truth): "
+                  f"+{time.perf_counter() - t0:.0f}s")
+        if cache:
+            payload = {"lab_ref": lab_ref, "nm_ref": nm_ref}
+            if lab_tru is not None:
+                payload["lab_tru"] = lab_tru
+            np.savez_compressed(cache, **payload)
+            print(f"serial side cached -> {cache}")
+    if args.serial_only:
+        return
 
     # ---- shipping pipeline config (hybrid + chained user refinement)
     from pybader_tpu import pipeline
@@ -187,15 +224,7 @@ def main():
     print(f"per-atom |dq|: max {dq.max():.3e}, sum {dq.sum():.3e} "
           f"({100.0 * dq.max() / total:.2e}% / {100.0 * dq.sum() / total:.2e}% of total)")
 
-    if args.truth:
-        lab_tru = np.ascontiguousarray(lab_ref.copy())  # pre-mapping ids
-        t0 = time.perf_counter()
-        lib.sn_refine(
-            rho.ctypes.data_as(dp), *shape, w.ctypes.data_as(dp),
-            tg.ctypes.data_as(dp),
-            lab_tru.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            ctypes.c_long(-1))
-        print(f"serial converged (truth): +{time.perf_counter() - t0:.0f}s")
+    if lab_tru is not None:
         lab_tru_m = perm[lab_tru]
         q_tru = atom_charges(lab_tru_m, maxima, rho, shape, lattice,
                              atoms_cart, vox_vol)

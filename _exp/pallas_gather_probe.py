@@ -37,17 +37,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-B = 32768  # block voxels (32^3)
+B = 32768  # block voxels (32^3); --block 4096 probes the 16^3 design point
 BH, BW = 256, 128  # table layout
 
 
 def main():
+    global B, BH, BW
     ap = argparse.ArgumentParser()
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--tiles", type=int, default=256)
-    ap.add__argument = None
+    ap.add_argument("--block", type=int, default=32768,
+                    help="in-VMEM table rows (one-hot cost is linear in "
+                         "this: 32768 = 32^3 block, 4096 = 16^3)")
     args = ap.parse_args()
+    B = args.block
+    BH, BW = B // 128, 128
 
     if args.interpret:
         import jax

@@ -418,7 +418,10 @@ def _hbm_probe():
     """
     import jax.numpy as jnp
 
-    x = jnp.ones((1 << 28,), jnp.float32)  # 1 GiB (x64 may be off here)
+    # 4 GiB: a 1 GiB probe cleared while a multi-GB workload alloc was
+    # still blocked behind the remnant leak (measured r5) — probe at
+    # workload scale
+    x = jnp.ones((1 << 30,), jnp.float32)
     print(f"probe ok {_sync_scalar(x)}", flush=True)
 
 
