@@ -113,6 +113,15 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # device runs MUST reuse the persistent XLA cache: remote compiles
+        # through the axon tunnel cost 1-5 min per program, and the
+        # default pipeline dispatches dozens (measured: without this the
+        # 384^3 device comparison sat >25 min in compiles bench.py had
+        # already paid for)
+        from pybader_tpu.precompile import enable_persistent_cache
+
+        enable_persistent_cache()
 
     from bench import synthetic_density
 
