@@ -105,6 +105,11 @@ def main():
     ap.add_argument("--serial-only", action="store_true",
                     help="compute + cache the serial side, then exit "
                          "(run it while the TPU is busy elsewhere)")
+    ap.add_argument("--full-trajectories", action="store_true",
+                    help="run the exact full-trajectory initial pass "
+                         "instead of the hybrid (the reference-semantics "
+                         "mode; measures its cost AND verifies parity at "
+                         "sizes where the hybrid normally substitutes)")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -195,13 +200,17 @@ def main():
     t0 = time.perf_counter()
     carry = {}
     labels, maxima = pipeline.partition_neargrid(
-        rho, None, tuple(w), tg, full_trajectories=False, carry_out=carry)
+        rho, None, tuple(w), tg,
+        full_trajectories=args.full_trajectories, carry_out=carry)
+    t_init = time.perf_counter() - t0
     labels, ch_hyb = pipeline.refine_labels(
         "neargrid", ("changed", args.iters), rho, labels, tuple(w), tg,
         verbose=False, carry_in=carry or None)
     lab_hyb = np.asarray(labels)
-    print(f"hybrid pipeline: {len(maxima)} basins, "
-          f"{time.perf_counter() - t0:.1f}s, changed {ch_hyb}")
+    name = "full-trajectory" if args.full_trajectories else "hybrid"
+    print(f"{name} pipeline: {len(maxima)} basins, "
+          f"{time.perf_counter() - t0:.1f}s (init {t_init:.1f}s), "
+          f"changed {ch_hyb}")
 
     # ---- compare: remap serial ids -> hybrid ids via basin maxima
     assert nm_ref == len(maxima), (nm_ref, len(maxima))
