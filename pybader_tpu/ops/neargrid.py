@@ -1037,6 +1037,18 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     k0 = int(starts.shape[0])
     state = _init_state(starts, jnp.float32 if qmode else rows.dtype,
                         screened=screened)
+    # in-VMEM block-local pre-drain: retires the short-walk majority at
+    # ~8x the HBM dependent-gather ceiling (ops/block_walk.py), then the
+    # segment loop below finishes the long tail.  Trajectory-identical:
+    # the kernel steps the same q-row arithmetic; escaped lanes resume
+    # here with bit-equal state.  Lanes it advances do not count toward
+    # max_steps (the cap-and-resolve approximation fires no earlier —
+    # strictly later — than without it).
+    from . import block_walk as _bw
+
+    if _bw.enabled(shape, k0, qmode):
+        state, _ = _bw.block_phase(state, rows, shape, screened=screened,
+                                   progress=progress)
     # retired-lane results, packed one int32 word per lane (_pack_w);
     # allocated lazily on the first compaction.  Each shrink scatters
     # ONLY the lanes it drops (all done), and the final bucket flushes
