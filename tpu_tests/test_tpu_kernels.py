@@ -527,6 +527,72 @@ def test_qrow_walkers_on_device():
           f"exact dtype {e_baked.dtype})")
 
 
+def test_block_walker_on_device():
+    """In-VMEM fold walker (ops/block_walk.py) vs the global HBM walker.
+
+    The screened contract must hold ENGINE-INDEPENDENTLY: block rounds +
+    global tail + exact re-walks return results bit-identical to
+    exact-row walking whatever f32 scheduling Mosaic picked for the
+    in-kernel steps (the _QS_EPS budget bounds against the EXACT walk,
+    so kernel-vs-XLA rounding differences can only move lanes into the
+    risky set, never corrupt a proven lane).  Also pins that the phase
+    makes real progress on hardware rather than bailing out.
+    """
+    from pybader_tpu import pipeline
+    from pybader_tpu.ops import edges as edges_ops
+    from pybader_tpu.ops import block_walk as bw
+    from pybader_tpu.ops import neargrid as ng
+    from pybader_tpu.ops.reductions import compact_indices
+
+    shape = (96, 64, 128)  # conforms: 6x4x1 blocks of 16x16x128
+    rho = blob_density(shape, 8, 9)
+    lattice = np.diag([9.0, 8.0, 10.0])
+    w = tuple(g.distance_weights(lattice, shape))
+    tg = jnp.asarray(g.t_grad(lattice, shape))
+    rho_dev = jnp.asarray(rho)
+    bk = ongrid_step_codes(rho_dev, w)
+    parent = parent_from_step_codes(bk)
+    labels, _ = pipeline.partition_ongrid(rho_dev, None, w)
+    known = edges_ops.edge_find(rho_dev, labels, bk == jnp.uint8(13))
+    starts = compact_indices((known == -2).reshape(-1), 1 << 14)
+    stop = (known == 2).reshape(-1)
+    qrows = ng.precompute_qrows(rho_dev, bk, tg, strict_grad=True)
+    q_baked = ng.update_stop_q(qrows, stop)
+    exact = ng.precompute_rows(rho_dev, parent, tg, strict_grad=True)
+    e_baked = ng.update_stop(exact, stop)
+
+    old_en, old_min = bw._ENABLED, bw._MIN_LANES
+    try:
+        bw._ENABLED = False
+        pos_off, done_off = ng.walk_drain_screened(
+            starts, tg, shape, q_baked, lambda: e_baked,
+            strict_grad=True, max_steps=192)
+
+        bw._ENABLED = True
+        bw._MIN_LANES = 1024
+        # phase progress: rounds ran and retired lanes on hardware
+        state = ng._init_state(starts, jnp.float32, screened=True)
+        n_done0 = int(jnp.sum(state[4]))
+        out, rounds = bw.block_phase(state, q_baked, shape,
+                                     screened=True, max_rounds=4)
+        assert rounds >= 1
+        retired = int(jnp.sum(out[4])) - n_done0
+        n_lanes = int(jnp.sum(starts >= 0))
+        assert retired > n_lanes // 20, (
+            f"block phase retired only {retired}/{n_lanes} lanes")
+
+        pos_on, done_on = ng.walk_drain_screened(
+            starts, tg, shape, q_baked, lambda: e_baked,
+            strict_grad=True, max_steps=192)
+    finally:
+        bw._ENABLED, bw._MIN_LANES = old_en, old_min
+    mism = int(jnp.sum(pos_on != pos_off)) \
+        + int(jnp.sum(done_on != done_off))
+    assert mism == 0, f"{mism} block-vs-global screened mismatches"
+    print(f"    (block phase: {rounds} rounds, retired "
+          f"{retired}/{n_lanes} lanes in-kernel)")
+
+
 def test_pallas_surface_distance_matches_compaction():
     """surface_min_d2 on device vs the f64 edge-compaction path.
 
