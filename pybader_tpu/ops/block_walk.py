@@ -137,9 +137,15 @@ def _make_call(shape: tuple, ntiles: int, steps: int, screened: bool,
     f32, i32 = jnp.float32, jnp.int32
     inv_scale = np.float32(1.0 / 262143.0).item()  # python float
 
-    def kernel(blk_ref, w0_ref, w1_ref, *refs):
+    def kernel(meta_ref, w0_ref, w1_ref, *refs):
+        # Mosaic cannot legalize scf.while with vector carries (measured:
+        # "failed to legalize operation 'scf.yield'"); the loop is a
+        # fixed-trip fori (scf.for) and whole-tile early exit is a
+        # prefetched per-tile live flag instead of a loop condition.
         ins, outs = refs[:nstate], refs[nstate:]
-        b = blk_ref[pl.program_id(0)]
+        i = pl.program_id(0)
+        b = meta_ref[i, 0]
+        live = meta_ref[i, 1]
         bz = jax.lax.rem(b, nbz)
         rest = jax.lax.div(b, nbz)
         ox = jax.lax.div(rest, nby) * BX
@@ -147,29 +153,17 @@ def _make_call(shape: tuple, ntiles: int, steps: int, screened: bool,
         oz = bz * BZ
         w0t, w1t = w0_ref[0], w1_ref[0]
 
-        pos, prev, h0, h1, h2, x, y, z = (r[:] for r in ins[:8])
-        dr0, dr1, dr2 = (r[:] for r in ins[8:11])
-        done = ins[11][:] != 0
-        if screened:
-            err, risky = ins[12][:], ins[13][:] != 0
-        else:
-            err = risky = None
-
         def in_block(x, y, z):
             lx, ly, lz = x - ox, y - oy, z - oz
             return ((lx >= 0) & (lx < BX) & (ly >= 0) & (ly < BY)
                     & (lz >= 0) & (lz < BZ))
 
-        def cond(c):
-            step, pos, prev, h0, h1, h2, x, y, z = c[:9]
-            done = c[12]
-            return (step < steps) & jnp.any(~done & in_block(x, y, z))
-
-        def body(c):
-            (step, pos, prev, h0, h1, h2, x, y, z,
-             dr0, dr1, dr2, done) = c[:13]
+        def body(step, c):
+            (pos, prev, h0, h1, h2, x, y, z,
+             dr0, dr1, dr2, done_i) = c[:12]
             if screened:
-                err, risky = c[13], c[14]
+                err, risky_i = c[12], c[13]
+            done = done_i != 0
             active = in_block(x, y, z) & ~done
             lx, ly, lz = x - ox, y - oy, z - oz
             ploc = jnp.where(active, (lx * BY + ly) * BZ + lz, 0)
@@ -220,7 +214,6 @@ def _make_call(shape: tuple, ntiles: int, steps: int, screened: bool,
             da2 = jnp.where(reset, jnp.float32(0.0), da2)
             adv = active & ~done2
             new = (
-                step + 1,
                 jnp.where(adv, ff, pos),
                 jnp.where(adv, pos, prev),
                 jnp.where(adv, prev, h0),
@@ -232,7 +225,7 @@ def _make_call(shape: tuple, ntiles: int, steps: int, screened: bool,
                 jnp.where(adv, da0, dr0),
                 jnp.where(adv, da1, dr1),
                 jnp.where(adv, da2, dr2),
-                done2,
+                done2.astype(jnp.int32),
             )
             if screened:
                 d_g = jnp.minimum(
@@ -247,22 +240,28 @@ def _make_call(shape: tuple, ntiles: int, steps: int, screened: bool,
                 new = new + (
                     jnp.where(adv, jnp.where(reset, jnp.float32(0.0),
                                              err + _EPS), err),
-                    risky | (risky_step & ~use_og & ~done2 & active),
+                    ((risky_i != 0)
+                     | (risky_step & ~use_og & ~done2 & active)
+                     ).astype(jnp.int32),
                 )
             return new
 
-        init = (jnp.int32(0), pos, prev, h0, h1, h2, x, y, z,
-                dr0, dr1, dr2, done)
-        if screened:
-            init = init + (err, risky)
-        fin = jax.lax.while_loop(cond, body, init)
-        for j in range(nstate):
-            v = fin[1 + j]
-            outs[j][:] = v.astype(i32) if v.dtype == jnp.bool_ else v
+        @pl.when(live != 0)
+        def _walk():
+            fin = jax.lax.fori_loop(
+                0, steps, body, tuple(r[:] for r in ins))
+            for j in range(nstate):
+                outs[j][:] = fin[j]
 
-    lane_spec = pl.BlockSpec((8, 128), lambda i, blk: (i, 0),
+        @pl.when(live == 0)
+        def _passthrough():
+            for j in range(nstate):
+                outs[j][:] = ins[j][:]
+
+    lane_spec = pl.BlockSpec((8, 128), lambda i, meta: (i, 0),
                              memory_space=pltpu.VMEM)
-    tbl_spec = pl.BlockSpec((1, BH, BZ), lambda i, blk: (blk[i], 0, 0),
+    tbl_spec = pl.BlockSpec((1, BH, BZ),
+                            lambda i, meta: (meta[i, 0], 0, 0),
                             memory_space=pltpu.VMEM)
     i32s = jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32)
     f32s = jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32)
@@ -304,9 +303,17 @@ def _prep_round(state, ord_total, shape: tuple, ntiles: int,
     key = (x // BX) * (nby * nbz) + (y // BY) * nbz + z // BZ
     key = jnp.where(done, jnp.int32(nblocks), key)
     order = jnp.argsort(key).astype(jnp.int32)
+    key_s = jnp.take(key, order)
+    # per-tile block: the median lane's (majority-ish after the sort);
+    # if the tile's tail is all-done sentinels fall back to its first
+    # lane's block.  live=0 tiles (all lanes done) skip compute entirely.
+    firsts = jnp.take(key_s, jnp.arange(ntiles, dtype=jnp.int32) * _TILE)
     mids = jnp.arange(ntiles, dtype=jnp.int32) * _TILE + _TILE // 2
-    blk = jnp.take(jnp.take(key, order), mids)
+    blk = jnp.take(key_s, mids)
+    blk = jnp.where(blk >= nblocks, firsts, blk)
+    live = (firsts < nblocks).astype(jnp.int32)
     blk = jnp.where(blk >= nblocks, 0, blk)
+    meta = jnp.stack([blk, live], axis=1)
 
     def g(a):
         return jnp.take(a, order, axis=0)
@@ -323,7 +330,7 @@ def _prep_round(state, ord_total, shape: tuple, ntiles: int,
     if screened:
         arrs += [g(state[5]).reshape(sh),
                  g(state[6]).astype(jnp.int32).reshape(sh)]
-    return blk, arrs, jnp.take(ord_total, order)
+    return meta, arrs, jnp.take(ord_total, order)
 
 
 @partial(jax.jit, static_argnames=("screened",))
@@ -369,9 +376,9 @@ def block_phase(state, qrows, shape: tuple, screened: bool,
         slow = 0
         rounds = 0
         for rounds in range(1, max_rounds + 1):
-            blk, arrs, ord_total = _prep_round(
+            meta, arrs, ord_total = _prep_round(
                 state, ord_total, shape, ntiles, screened)
-            outs = call(blk, qt0, qt1, *arrs)
+            outs = call(meta, qt0, qt1, *arrs)
             state, alive = _unpack_round(outs, screened)
             n_alive = int(alive)
             if progress is not None:
