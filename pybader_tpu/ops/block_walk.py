@@ -144,8 +144,10 @@ def _make_call(shape: tuple, ntiles: int, steps: int, screened: bool,
         # prefetched per-tile live flag instead of a loop condition.
         ins, outs = refs[:nstate], refs[nstate:]
         i = pl.program_id(0)
-        b = meta_ref[i, 0]
-        live = meta_ref[i, 1]
+        m = meta_ref[i]          # 1-D packed: live<<30 | block (SMEM
+        b = m & ((1 << 30) - 1)  # prefetch rows are lane-padded, so a
+        live = m >> 30           # 2-D (ntiles,2) layout blows the 1 MB
+        # SMEM budget at multi-M-lane buckets)
         bz = jax.lax.rem(b, nbz)
         rest = jax.lax.div(b, nbz)
         ox = jax.lax.div(rest, nby) * BX
@@ -261,7 +263,8 @@ def _make_call(shape: tuple, ntiles: int, steps: int, screened: bool,
     lane_spec = pl.BlockSpec((8, 128), lambda i, meta: (i, 0),
                              memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((1, BH, BZ),
-                            lambda i, meta: (meta[i, 0], 0, 0),
+                            lambda i, meta: (meta[i] & ((1 << 30) - 1),
+                                             0, 0),
                             memory_space=pltpu.VMEM)
     i32s = jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.int32)
     f32s = jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32)
@@ -313,7 +316,7 @@ def _prep_round(state, ord_total, shape: tuple, ntiles: int,
     blk = jnp.where(blk >= nblocks, firsts, blk)
     live = (firsts < nblocks).astype(jnp.int32)
     blk = jnp.where(blk >= nblocks, 0, blk)
-    meta = jnp.stack([blk, live], axis=1)
+    meta = blk | (live << 30)
 
     def g(a):
         return jnp.take(a, order, axis=0)
