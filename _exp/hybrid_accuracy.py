@@ -256,4 +256,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # release HBM explicitly before exiting: an exception/teardown that
+    # dies with buffers held leaks the chip for ~10-20 min (bench.py
+    # _clean_exit doc) and blocks every later large allocation
+    try:
+        main()
+    except BaseException:
+        import traceback
+
+        traceback.print_exc()
+    finally:
+        from bench import _clean_exit
+
+        _clean_exit()
