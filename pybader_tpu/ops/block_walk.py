@@ -42,8 +42,22 @@ refinement re-walk stop handling (``refinement.py:16-322``) exactly as
 ``ops/neargrid.py`` documents them; this module changes WHERE a step's
 operand row is fetched from, never the step itself.
 
+Status: OFF BY DEFAULT — the kernel wins 8x in isolation but loses
+end-to-end.  The 384^3 default-workload A/B (`_exp/block_walk_ab.py`,
+v5e, warm) measured 128.1 s with the block phase on vs 50.0 s off: each
+re-binning round pays a full-bucket argsort plus a 12-14-word-per-lane
+state relayout (two orders more random ops than the ~8 useful steps a
+lane advances before escaping its 16x16x128 block), and the fixed-trip
+kernel burns its remaining steps on escaped lanes.  The negative result
+and the arithmetic are recorded in BASELINE.md ("paths probed and
+CLOSED"); the module stays as an opt-in engine and a tested primitive
+(the composed VMEM gather) for a future formulation that walks longer
+per bin — e.g. block-resident seeding rather than mid-walk re-binning.
+
 Env:
-    PYBADER_TPU_BLOCK_WALK=0|1   disable/enable (default: 1 = on)
+    PYBADER_TPU_BLOCK_WALK=0|1   enable/disable (default: 0 = off; the
+                                 re-binning overhead outweighs the VMEM
+                                 gather win at every measured size)
     PYBADER_TPU_BLOCK_STEPS=N    in-kernel steps per round (default 24)
 """
 from __future__ import annotations
@@ -63,7 +77,7 @@ BH = BX * BY               # table rows
 _TILE = 1024               # lanes per (8,128) tile
 _EPS = 3e-6  # python float: must match neargrid._QS_EPS (tested)
 
-_ENABLED = os.environ.get("PYBADER_TPU_BLOCK_WALK", "1") != "0"
+_ENABLED = os.environ.get("PYBADER_TPU_BLOCK_WALK", "0") == "1"
 _STEPS = int(os.environ.get("PYBADER_TPU_BLOCK_STEPS", "24"))
 _MIN_LANES = 1 << 17   # below this the global drain's tail bucket wins
 

@@ -1037,13 +1037,18 @@ def walk_drain(starts: jax.Array, rho_flat: jax.Array,
     k0 = int(starts.shape[0])
     state = _init_state(starts, jnp.float32 if qmode else rows.dtype,
                         screened=screened)
-    # in-VMEM block-local pre-drain: retires the short-walk majority at
-    # ~8x the HBM dependent-gather ceiling (ops/block_walk.py), then the
-    # segment loop below finishes the long tail.  Trajectory-identical:
-    # the kernel steps the same q-row arithmetic; escaped lanes resume
-    # here with bit-equal state.  Lanes it advances do not count toward
-    # max_steps (the cap-and-resolve approximation fires no earlier —
-    # strictly later — than without it).
+    # OPT-IN in-VMEM block-local pre-drain (PYBADER_TPU_BLOCK_WALK=1):
+    # steps lanes against their block's q-row table in VMEM at ~8x the
+    # HBM dependent-gather ceiling, then the segment loop below finishes
+    # the long tail.  OFF by default: the per-round re-binning overhead
+    # (argsort + 12-14-word state relayout per lane) exceeds the ~8
+    # useful steps a lane advances before escaping its block — measured
+    # 2.6x SLOWER end-to-end at 384^3 (BASELINE.md "VMEM gather
+    # engine").  Trajectory-identical while enabled: the kernel steps
+    # the same q-row arithmetic; escaped lanes resume here with
+    # bit-equal state.  Lanes it advances do not count toward max_steps
+    # (the cap-and-resolve approximation fires no earlier — strictly
+    # later — than without it).
     from . import block_walk as _bw
 
     if _bw.enabled(shape, k0, qmode):
